@@ -1,0 +1,69 @@
+"""Bilinear resize as separable matmuls — the TPU-native way to upsample.
+
+The reference mixes two bilinear conventions (quirk Q7, SURVEY §7.4):
+``align_corners=True`` in the U-Net up blocks (src/model.py:157, 2175, 2691)
+and PyTorch's default ``align_corners=False`` everywhere in SPADE
+(src/model.py:2432, 2463-2471, 2501-2510) and in the attention gates
+(src/model.py:1321-1324).
+
+Instead of a gather-based interpolation (scalar-ish on TPU), we precompute —
+at trace time, with static shapes — a sparse-in-structure dense interpolation
+matrix per axis and apply it as two einsums.  XLA maps these onto the MXU and
+fuses the surrounding elementwise work; for 2x upsampling of NHWC feature
+maps this is both faster and exactly reproducible against torch's
+``F.interpolate`` (see tests/test_resize.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix_np(in_size: int, out_size: int, align_corners: bool):
+    """[out_size, in_size] bilinear interpolation matrix (float32).
+
+    Matches torch ``F.interpolate(mode='bilinear')`` source-index math:
+    - align_corners=True:  src = dst * (in-1)/(out-1)
+    - align_corners=False: src = max(0, (dst+0.5) * in/out - 0.5)
+    """
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    for dst in range(out_size):
+        if align_corners:
+            src = dst * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = max((dst + 0.5) * in_size / out_size - 0.5, 0.0)
+        lo = min(int(np.floor(src)), in_size - 1)
+        hi = min(lo + 1, in_size - 1)
+        w_hi = src - lo
+        m[dst, lo] += 1.0 - w_hi
+        m[dst, hi] += w_hi
+    return m
+
+
+def resize_matrix(in_size: int, out_size: int, align_corners: bool):
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, bool(align_corners)))
+
+
+def bilinear_resize(x: jnp.ndarray, out_hw, align_corners: bool = False):
+    """Bilinear-resize the (H, W) dims of an NHWC (or [..., H, W, C]) array.
+
+    Applied as two MXU matmuls: out = Rh @ x @ Rw^T (per batch/channel).
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    orig_dtype = x.dtype
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    rh = resize_matrix(h_in, h_out, align_corners)
+    rw = resize_matrix(w_in, w_out, align_corners)
+    # accumulate in f32 for parity, cast back
+    y = jnp.einsum("Hh,...hwc->...Hwc", rh, x.astype(jnp.float32))
+    y = jnp.einsum("Ww,...hwc->...hWc", rw, y)
+    return y.astype(orig_dtype)
