@@ -1,0 +1,202 @@
+"""Benchmark: training + inference throughput of the flagship configuration.
+
+Prints ONE JSON line:
+  {"metric": "train_slices_per_sec_per_chip", "value": N, "unit":
+   "slices/sec/chip", "vs_baseline": R, ...extras}
+
+Configuration matches the reference's shipped run (SURVEY §6): 4-modality
+BraTS, 160x192, 7-slice blocks, batch 8, effective batch 16 via gradient
+accumulation, full shipped loss set (recon_x 1, recon_x_mix 2, sim_s 10,
+sim_z 2, latent_z 0.1).
+
+``vs_baseline`` compares against the torch reference executing its own
+training iteration (same shapes, same losses) measured once on this host and
+cached in ``bench_baseline.json``.  The reference repo publishes no numbers
+(BASELINE.md), so a measured-here floor is the only reproducible anchor; the
+reference runs on CPU-torch here (no CUDA in this environment), which is
+recorded in the JSON for transparency.
+
+Usage:  python bench.py [--smoke] [--steps N] [--no-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+
+def bench_ours(height, width, contrasts, batch_size, effective_batch,
+               steps, dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _make_cfg, _synthetic_batch
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state, draw_pairs, make_train_step)
+
+    cfg = _make_cfg(height, width, contrasts, batch_size, effective_batch)
+    cfg.compute_dtype = dtype
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = _synthetic_batch(cfg, rng)
+    state, txs = create_train_state(model, cfg, jax.random.PRNGKey(10), batch)
+    train_step, n_micro = make_train_step(model, cfg, txs, donate=True)
+
+    stacked = {k: jnp.stack([batch[k]] * n_micro)
+               for k in ("inputs", "targets", "mask", "mask_img")}
+    rngs = jax.random.split(jax.random.PRNGKey(0), n_micro)
+    pair_rng = np.random.default_rng(0)
+    pairs = lambda: jnp.asarray(draw_pairs(pair_rng, cfg.modality_num,
+                                           n_micro))
+
+    # warmup / compile
+    state, m = train_step(state, stacked, rngs, pairs(), pairs(),
+                          jnp.float32(cfg.lr), first_of_epoch=False)
+    jax.block_until_ready(m["all"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, stacked, rngs, pairs(), pairs(),
+                              jnp.float32(cfg.lr), first_of_epoch=False)
+    jax.block_until_ready(m["all"])
+    dt = time.perf_counter() - t0
+    train_sps = steps * effective_batch / dt
+
+    # inference (eval forward with y decode, z = mean)
+    @jax.jit
+    def eval_fwd(params, bstats, b):
+        out = model.apply({"params": params, "batch_stats": bstats},
+                          b["inputs"], b["mask"], b["mask_img"], None,
+                          train=False, compute_y=True, latent_cycle=False)
+        return out["x_fake_grid"], out["y_fake_fused"]
+
+    o = eval_fwd(state.params, state.batch_stats, batch)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        o = eval_fwd(state.params, state.batch_stats, batch)
+    jax.block_until_ready(o)
+    infer_sps = steps * batch_size / (time.perf_counter() - t0)
+    return train_sps, infer_sps, float(m["all"]) / n_micro
+
+
+def bench_reference(height, width, n_contrasts, batch_size, steps=2):
+    """Measure the torch reference's own train iteration (fwd+bwd of the
+    shipped loss set) on this host.  Imports /root/reference/src/model.py
+    as an oracle with unavailable deps stubbed."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from conftest import make_ref_model_module
+    ref = make_ref_model_module()
+    if ref is None:
+        return None
+    import torch
+    dev = torch.device("cpu")
+    model = ref.MultimodalModel(
+        input_size=(height, width), modality_num=n_contrasts, in_num_ch=7,
+        out_num_ch=1, s_num_ch=4, z_size=16, is_cond=True,
+        is_discrim_s=False, is_distri_z=False, shared_ana_enc=True,
+        shared_mod_enc=True, shared_inp_dec=False,
+        s_compact_method="max", s_sim_method="cosine",
+        z_sim_method="cosine", input_output_act="no", target_output_act="no",
+        target_model_name="U+SA", fuse_method="mean", device=dev,
+        others={"mod_enc_s": False, "ana_dec_act": "softmax", "old": False,
+                "softmax_remove_mask": True})
+    opt = torch.optim.Adam(model.parameters(), lr=2e-4, weight_decay=1e-5,
+                           amsgrad=True)
+    xs = [torch.randn(batch_size, 7, height, width) for _ in
+          range(n_contrasts)]
+    mask = torch.ones(batch_size, n_contrasts)
+    mask_img = torch.zeros(batch_size, height, width)
+
+    def one_iter():
+        si = model.compute_anatomy_encoding(xs, mask_img)
+        zi, zm, zlv = model.compute_modality_encoding(xs, si, phase="train")
+        xf = model.reconstruct_input_si_zi(si, zi)
+        xfm = model.reconstruct_input_si_zj(si, zi)
+        loss = model.compute_recon_loss_x_list(xs, xf, mask, p=1)
+        loss = loss + 2.0 * model.compute_recon_loss_x_mix_list(
+            xs, xfm, mask, p=1)
+        si2 = model.compute_anatomy_encoding(xf, mask_img)
+        _, zm2, _ = model.compute_modality_encoding(xf, si2, phase="train")
+        loss = loss + 0.1 * model.compute_latent_z_loss(zm, zm2, mask)
+        loss = loss + 10.0 * model.compute_similarity_s_loss(si, mask)
+        loss = loss + 2.0 * model.compute_similarity_z_loss(zi, mask)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        opt.zero_grad()
+
+    one_iter()                                     # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_iter()
+    dt = time.perf_counter() - t0
+    return steps * batch_size / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, CPU-safe")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--no-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke:
+        h, w, contrasts, bs, eb = 32, 64, ("T1", "T2"), 2, 4
+        steps = args.steps or 2
+    else:
+        h, w = 160, 192
+        contrasts = ("T1", "T1c", "T2", "T2_FLAIR")
+        bs, eb = 8, 16
+        steps = args.steps or 20
+
+    train_sps, infer_sps, loss = bench_ours(h, w, contrasts, bs, eb, steps)
+
+    baseline = None
+    if not args.no_baseline:
+        key = f"{h}x{w}_M{len(contrasts)}_B{bs}"
+        cache = {}
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        if key in cache:
+            baseline = cache[key]["train_slices_per_sec"]
+        else:
+            b = bench_reference(h, w, len(contrasts), bs,
+                                steps=1 if not args.smoke else 1)
+            if b is not None:
+                baseline = b
+                cache[key] = {"train_slices_per_sec": b,
+                              "hardware": "host CPU (torch, no CUDA here)",
+                              "note": "reference measured in-situ; repo "
+                                      "publishes no numbers (BASELINE.md)"}
+                with open(BASELINE_CACHE, "w") as f:
+                    json.dump(cache, f, indent=1)
+
+    import jax
+    result = {
+        "metric": "train_slices_per_sec_per_chip",
+        "value": round(train_sps, 3),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(train_sps / baseline, 2) if baseline else None,
+        "infer_slices_per_sec": round(infer_sps, 3),
+        "final_loss": round(loss, 4),
+        "config": f"BraTS {len(contrasts)}-modality {h}x{w} batch {bs} "
+                  f"(effective {eb})",
+        "device": str(jax.devices()[0]),
+        "baseline_train_slices_per_sec": baseline,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,15 @@ def recon_loss_x_mix(gt: jnp.ndarray, grid: jnp.ndarray, mask: jnp.ndarray,
                      p: int = 2):
     """compute_recon_loss_x_mix_list (src/model.py:3327-3341).
     grid[i, j] reconstructs modality j from anatomy i; compared to gt[j]
-    under mask_i * mask_j, excluding the diagonal."""
+    under mask_i * mask_j, excluding the diagonal.
+
+    Deliberate fix of a reference bug: when a pair's mask product is empty
+    the reference ``continue``s WITHOUT advancing its x_list index
+    (src/model.py:3335-3338), so every later pair is compared against the
+    wrong reconstruction.  Here grid[i, j] always pairs with gt[j]; the
+    empty pair simply contributes nothing (identical result whenever no
+    modality is absent across the whole batch, i.e. in all of the
+    reference's shipped training runs)."""
     M = grid.shape[0]
     r = per_sample_recon(gt[None, :], grid, p)               # [M_i, M_j, B]
     m = mask.T.astype(jnp.float32)                           # [M, B]

@@ -1,0 +1,217 @@
+"""Entry point: the reference's ``python main_missing.py`` workflow on TPU.
+
+Run as ``python -m representation_disentanglement_tpu.main_missing
+[config.yaml] [--data-root DIR] [--ckpt-root DIR]``.  Behavior follows
+src/main_missing.py: everything is driven by the YAML config (same keys);
+``phase: train`` runs the epoch loop with per-epoch validation, plateau LR
+scheduling on the monitor metric, and best-checkpoint selection;
+``phase: test`` evaluates the test fold and dumps ``results_all<info>.h5``.
+
+Differences from the reference, all deliberate:
+- gradient accumulation happens inside one jitted step (A microbatches per
+  optimizer update; leftover microbatches at the epoch tail are dropped
+  rather than leaking accumulated grads into the next epoch, which is what
+  the reference's never-zeroed ``.grad`` does at non-divisible epoch
+  lengths);
+- non-finite losses raise with a state dump instead of ``pdb.set_trace()``
+  (src/main_missing.py:265-278);
+- the input pipeline prefetches to device on a background thread.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from representation_disentanglement_tpu.config import (
+    Config, load_config, resolve_run)
+from representation_disentanglement_tpu.data.dataset import DataAll
+from representation_disentanglement_tpu.data.loader import BatchLoader
+from representation_disentanglement_tpu.models import MultimodalModel
+from representation_disentanglement_tpu.training.checkpoint import (
+    load_checkpoint, load_partial_params, save_checkpoint)
+from representation_disentanglement_tpu.training.evaluate import (
+    evaluate, make_eval_step)
+from representation_disentanglement_tpu.training.optim import (
+    ReduceLROnPlateau)
+from representation_disentanglement_tpu.training.stats import (
+    save_result_stat)
+from representation_disentanglement_tpu.training.train import (
+    LOSS_KEYS, TrainState, create_train_state, draw_pairs, make_train_step)
+
+
+def build_model(cfg: Config) -> MultimodalModel:
+    return MultimodalModel(
+        modality_num=cfg.modality_num, in_num_ch=cfg.block_ch,
+        out_num_ch=cfg.out_num_ch, s_num_ch=cfg.s_num_ch, z_size=cfg.z_size,
+        input_size=cfg.input_size, is_cond=cfg.is_cond,
+        is_discrim_s=cfg.is_discrim_s, is_distri_z=cfg.is_distri_z,
+        shared_ana_enc=cfg.shared_ana_enc, shared_mod_enc=cfg.shared_mod_enc,
+        shared_inp_dec=cfg.shared_inp_dec, fuse_method=cfg.fuse_method,
+        input_output_act=cfg.input_output_act,
+        target_output_act=cfg.target_output_act,
+        target_model_name=cfg.target_model_name,
+        mod_enc_s=cfg.others.get("mod_enc_s", True),
+        ana_dec_act=cfg.others.get("ana_dec_act", "softmax"),
+        softmax_remove_mask=cfg.others.get("softmax_remove_mask", False),
+        fix_act_bug=cfg.fix_activation_bug)
+
+
+def make_loaders(cfg: Config):
+    data = DataAll(
+        cfg.dataset_name, cfg.data_path, norm_type=cfg.norm_type,
+        batch_size=cfg.batch_size, num_fold=cfg.num_fold, fold=cfg.fold,
+        shuffle=cfg.shuffle, block_size=cfg.block_size,
+        contrast_list=cfg.contrast_list, aug=False, dropoff=cfg.dropoff,
+        skull_strip=cfg.skull_strip, image_size=cfg.input_size,
+        seed=cfg.seed)
+    train = BatchLoader(data.train_dataset, cfg.batch_size,
+                        shuffle=cfg.shuffle, drop_last=True, seed=cfg.seed,
+                        prefetch=cfg.prefetch_depth)
+    val = BatchLoader(data.val_dataset, cfg.batch_size, shuffle=False,
+                      prefetch=cfg.prefetch_depth)
+    test = BatchLoader(data.test_dataset, cfg.batch_size, shuffle=False,
+                       prefetch=cfg.prefetch_depth)
+    return train, val, test
+
+
+def _stack_micro(micro):
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *micro)
+
+
+def train(cfg: Config, model, state: TrainState, txs, loaders,
+          start_epoch: int, scheduler: ReduceLROnPlateau) -> TrainState:
+    train_loader, val_loader, _ = loaders
+    train_step, n_micro = make_train_step(model, cfg, txs)
+    eval_steps = make_eval_step(model, cfg)
+    pair_rng = np.random.default_rng(cfg.seed)
+    z_key = jax.random.PRNGKey(cfg.seed)
+    monitor_best = 100.0
+
+    for epoch in range(start_epoch + 1, cfg.epochs):
+        t0 = time.time()
+        loss_sums = {k: 0.0 for k in LOSS_KEYS}
+        n_iters = 0
+        micro = []
+        first = True
+        for batch in train_loader:
+            micro.append({k: batch[k] for k in
+                          ("inputs", "targets", "mask", "mask_img")})
+            if len(micro) < n_micro:
+                continue
+            stacked = _stack_micro(micro)
+            micro = []
+            z_key, *sub = jax.random.split(z_key, n_micro + 1)
+            rngs = jnp.stack(sub)
+            sim_pairs = jnp.asarray(draw_pairs(pair_rng, cfg.modality_num,
+                                               n_micro))
+            adv_pairs = jnp.asarray(draw_pairs(pair_rng, cfg.modality_num,
+                                               n_micro))
+            state, metrics = train_step(
+                state, stacked, rngs, sim_pairs, adv_pairs,
+                jnp.float32(scheduler.lr), first_of_epoch=first)
+            first = False
+            n_iters += n_micro
+            if not np.isfinite(float(metrics["all"])):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}: "
+                    f"{ {k: float(v) for k, v in metrics.items()} }")
+            for k in LOSS_KEYS:
+                loss_sums[k] += float(metrics[k])
+            if cfg.log_every and (n_iters // n_micro) % cfg.log_every == 0:
+                print(f"Epoch[{epoch:3d}], iter[{n_iters:3d}]: " +
+                      ", ".join(f"{k}=[{float(metrics[k]) / n_micro:.4f}]"
+                                for k in ("all", "recon_x", "recon_x_mix",
+                                          "sim_s", "sim_z", "latent_z")))
+        stat_train = {k: v / max(n_iters, 1) for k, v in loss_sums.items()}
+        save_result_stat(stat_train, cfg.ckpt_path, info=f"epoch[{epoch:2d}]")
+        print(f"epoch {epoch} train ({time.time() - t0:.1f}s):", stat_train)
+
+        stat = evaluate(model, state.params, state.batch_stats, cfg,
+                        val_loader, phase="val", set_name="val",
+                        save_res=False, eval_steps=eval_steps)
+        # monitor metric selection (src/main_missing.py:317-320)
+        if cfg.lambda_recon_y == 0 or cfg.lambda_recon_y_fused == 0:
+            monitor = stat["recon_x_mix"]
+        else:
+            monitor = stat["recon_y_fused"]
+        scheduler.step(monitor)
+        save_result_stat(stat, cfg.ckpt_path, info="val")
+        print(f"epoch {epoch} val:", stat)
+
+        is_best = monitor <= monitor_best
+        monitor_best = min(monitor, monitor_best)
+        save_checkpoint(
+            {"epoch": epoch, "monitor_metric": monitor, "stat": stat,
+             "params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state,
+             "opt_d_state": state.opt_d_state,
+             "scheduler": scheduler.state_dict()},
+            is_best, cfg.ckpt_path)
+    return state
+
+
+def run(cfg: Config, ckpt_root: str = "../ckpt") -> dict:
+    cfg = resolve_run(cfg, ckpt_root=ckpt_root).derive().validate()
+    print(cfg.model_name, "->", cfg.ckpt_path)
+    model = build_model(cfg)
+    loaders = make_loaders(cfg)
+
+    sample = next(iter(loaders[0 if cfg.phase == "train" else 2]))
+    sample = {k: sample[k] for k in ("inputs", "targets", "mask", "mask_img")}
+    state, txs = create_train_state(model, cfg,
+                                    jax.random.PRNGKey(cfg.seed), sample)
+    scheduler = ReduceLROnPlateau(cfg.lr)
+    start_epoch = -1
+    if cfg.continue_train or cfg.phase == "test":
+        ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
+        params, n_res, n_tot = load_partial_params(state.params,
+                                                   ckpt.get("params"))
+        print(f"restored {n_res}/{n_tot} param tensors")
+        bstats, _, _ = load_partial_params(state.batch_stats,
+                                           ckpt.get("batch_stats", {}))
+        state = state._replace(params=params, batch_stats=bstats)
+        if "opt_state" in ckpt and n_res == n_tot:
+            try:
+                from flax import serialization
+                state = state._replace(opt_state=serialization.from_state_dict(
+                    state.opt_state, ckpt["opt_state"]))
+            except Exception:
+                print("loading optimizer failed!")  # per-key tolerance
+                                                    # (util.py:880-888)
+        if "scheduler" in ckpt:
+            try:
+                scheduler.load_state_dict(
+                    jax.tree.map(float, ckpt["scheduler"]))
+            except Exception:
+                print("loading scheduler failed!")
+        start_epoch = int(ckpt.get("epoch", -1))
+
+    if cfg.phase == "train":
+        cfg.snapshot_txt(cfg.ckpt_path)
+        train(cfg, model, state, txs, loaders, start_epoch, scheduler)
+        return {}
+    stat = evaluate(model, state.params, state.batch_stats, cfg, loaders[2],
+                    phase="test", set_name="test", save_res=True)
+    print(stat)
+    return stat
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", nargs="?", default="config.yaml")
+    ap.add_argument("--ckpt-root", default="../ckpt")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+    return run(cfg, ckpt_root=args.ckpt_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,11 @@ def bilinear_resize(x: jnp.ndarray, out_hw, align_corners: bool = False):
         return x
     rh = resize_matrix(h_in, h_out, align_corners)
     rw = resize_matrix(w_in, w_out, align_corners)
-    # accumulate in f32 for parity, cast back
-    y = jnp.einsum("Hh,...hwc->...Hwc", rh, x.astype(jnp.float32))
-    y = jnp.einsum("Ww,...hwc->...hWc", rw, y)
+    # full-f32 accumulation: interpolation weights are parity-critical and
+    # the matrices are tiny, so HIGHEST precision costs nothing
+    import jax
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("Hh,...hwc->...Hwc", rh, x.astype(jnp.float32),
+                   precision=hi)
+    y = jnp.einsum("Ww,...hwc->...hWc", rw, y, precision=hi)
     return y.astype(orig_dtype)

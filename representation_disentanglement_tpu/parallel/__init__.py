@@ -1,0 +1,2 @@
+from representation_disentanglement_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, batch_sharding)

@@ -1,0 +1,210 @@
+"""Evaluation loop: losses + metrics + results_all.h5 dump + retrieval.
+
+Reference ``evaluate`` (src/main_missing.py:337-609): no-grad forward with
+z = mean, the same loss accounting as training, per-batch metrics
+(reconstruction metrics on the mix reconstructions when no y-loss is active,
+else segmentation / reconstruction metrics on the fused y), an optional
+nearest-neighbour / mean z-retrieval path for missing-modality imputation,
+accumulation of all tensors and an HDF5 dump (src/main_missing.py:592-607),
+with a safety break past 500 iterations.
+
+The dump layout is converted to the reference's NCHW conventions so
+``results_all<info>.h5`` is drop-in comparable:
+  inputs [B, M*Cb, H, W], targets [B, Ct, H, W], y_fake_fused [B, Co, H, W],
+  y_fake_list / xi_fake_list [B, M, C, H, W], xi_fake_mix [B, M(M-1), Cb, H, W],
+  s_list [B, M, Cs, H, W], z_list [B, M, z].
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from representation_disentanglement_tpu import losses as L
+from representation_disentanglement_tpu.metrics import (
+    compute_reconstruction_metrics, compute_segmentation_metrics)
+from representation_disentanglement_tpu.training.train import (
+    LOSS_KEYS, assemble_losses)
+
+try:
+    import h5py
+except ImportError:                                    # pragma: no cover
+    h5py = None
+
+
+def _nchw(a: np.ndarray) -> np.ndarray:
+    """[..., H, W, C] -> [..., C, H, W]."""
+    return np.moveaxis(a, -1, -3)
+
+
+def make_eval_step(model, cfg):
+    needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
+
+    @functools.partial(jax.jit, static_argnames=("compute_y",))
+    def eval_step(params, batch_stats, batch, sim_pair, adv_pair,
+                  compute_y: bool = True):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["inputs"], batch["mask"], batch["mask_img"], None,
+            train=False, compute_y=compute_y or needs_y,
+            latent_cycle=cfg.lambda_latent_z > 0,
+            adv_pair=adv_pair if cfg.is_discrim_s else None)
+        l = assemble_losses(cfg, batch, out, sim_pair, adv_pair,
+                            out.get("d_logits"))
+        return out, l
+
+    @jax.jit
+    def decode_with_z(params, batch_stats, s, z_find):
+        """Re-decode with retrieved z (src/main_missing.py:427-428)."""
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, s, z_find,
+            method=model.decode_inputs_grid)
+
+    return eval_step, decode_with_z
+
+
+def _mix_views(grid: np.ndarray):
+    """Off-diagonal (i, j) pairs in reference order (i-major, j != i)."""
+    M = grid.shape[0]
+    return [grid[i, j] for i in range(M) for j in range(M) if i != j]
+
+
+def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
+             set_name="val", save_res=False, info="",
+             sim_rng: Optional[np.random.Generator] = None,
+             eval_steps=None) -> Dict[str, float]:
+    if h5py is None and (save_res or info in ("nearest_neighbour", "mean")):
+        raise ImportError("h5py required for result dumps / retrieval")
+    eval_step, decode_with_z = eval_steps or make_eval_step(model, cfg)
+    sim_rng = sim_rng or np.random.default_rng(10)
+    M = cfg.modality_num
+
+    loss_sums = {k: 0.0 for k in LOSS_KEYS}
+    metrics_acc: Dict[str, list] = {}
+    dump: Dict[str, list] = {k: [] for k in (
+        "subj_id", "slice_idx", "inputs", "targets", "mask", "y_fake_fused",
+        "y_fake_list", "xi_fake_mix", "xi_fake_list", "s_list", "z_list",
+        "z_list_find_all")}
+
+    res_path = os.path.join(cfg.ckpt_path, "result_" + set_name)
+    os.makedirs(res_path, exist_ok=True)
+
+    retrieval = info in ("nearest_neighbour", "mean")
+    if retrieval:
+        bank_path = os.path.join(res_path, "results_all.h5")
+        with h5py.File(bank_path, "r") as bank:
+            s_saved = np.asarray(bank["s_list"])       # [N, M, Cs, H, W]
+            z_saved = np.asarray(bank["z_list"])       # [N, M, z]
+        s_saved_nhwc = np.moveaxis(s_saved, 2, -1)
+        s_compact_saved = [np.asarray(L.compact_s(
+            jnp.asarray(s_saved_nhwc[:, i]), cfg.s_compact_method))
+            for i in range(M)]
+
+    n_iter = 0
+    stale_y = None          # reference appends the stale iter-0 y each iter
+                            # when y-losses are off (main_missing.py:435-443,
+                            # 548-549) so dump rows stay aligned with inputs
+    for it, batch in enumerate(loader):
+        from representation_disentanglement_tpu.training.train import \
+            draw_pairs
+        sim_pair = jnp.asarray(draw_pairs(sim_rng, M, 1)[0])
+        adv_pair = jnp.asarray(draw_pairs(sim_rng, M, 1)[0])
+        jb = {k: batch[k] for k in
+              ("inputs", "targets", "mask", "mask_img")}
+        out, l = eval_step(params, batch_stats, jb, sim_pair, adv_pair,
+                           compute_y=(it == 0))
+
+        z_find = None
+        if retrieval:
+            # assume missing modality i; query with compact-s of |1-i|
+            # (src/main_missing.py:416-425; written for the 2-contrast case)
+            z_cols = []
+            for i in range(M):
+                src = abs(1 - i)
+                si_c = L.compact_s(out["s"][src], cfg.s_compact_method)
+                if info == "nearest_neighbour":
+                    zf = L.nearest_neighbour_z_by_s(
+                        jnp.asarray(s_compact_saved[src]),
+                        jnp.asarray(z_saved[:, i]), si_c)
+                else:
+                    zf = jnp.broadcast_to(
+                        L.mean_z(jnp.asarray(z_saved[:, i])),
+                        (si_c.shape[0], z_saved.shape[-1]))
+                z_cols.append(zf)
+            z_find = jnp.stack(z_cols, 0)                  # [M, B, z]
+            grid = decode_with_z(params, batch_stats, out["s"], z_find)
+            out = dict(out, x_fake_grid=grid)
+
+        for k in LOSS_KEYS:
+            loss_sums[k] += float(l[k])
+
+        # ---- metrics (src/main_missing.py:519-534) ----
+        grid_np = np.asarray(out["x_fake_grid"], np.float32)
+        if cfg.lambda_recon_y == 0 and cfg.lambda_recon_y_fused == 0:
+            gts = np.concatenate(
+                [np.asarray(jb["inputs"][j]) for i in range(M)
+                 for j in range(M) if i != j], 0)
+            preds = np.concatenate(_mix_views(grid_np), 0)
+            m = compute_reconstruction_metrics(gts, preds)
+        else:
+            tgt = np.asarray(jb["targets"])
+            yf = np.asarray(out["y_fake_fused"], np.float32)
+            if cfg.dataset_name == "BraTS":
+                # reference indexes pred[i] for class i+1: its 4-ch logits'
+                # channels 1..3 -> our channels 1..3 of NHWC
+                m = compute_segmentation_metrics(tgt, yf[..., 1:])
+            else:
+                m = compute_reconstruction_metrics(tgt, yf)
+        for k, v in m.items():
+            metrics_acc.setdefault(k, []).extend(v)
+
+        if phase == "test" and save_res:
+            B = np.asarray(jb["targets"]).shape[0]
+            inp = np.asarray(jb["inputs"])                 # [M,B,H,W,Cb]
+            dump["inputs"].append(
+                _nchw(inp).transpose(1, 0, 2, 3, 4).reshape(
+                    B, -1, inp.shape[2], inp.shape[3]))
+            dump["targets"].append(_nchw(np.asarray(jb["targets"])))
+            dump["mask"].append(np.asarray(jb["mask"]))
+            dump["subj_id"].append(np.array(batch["subj_id"], dtype="S"))
+            dump["slice_idx"].append(np.asarray(batch["slice_idx"]))
+            if out.get("y_fake_fused") is not None:
+                stale_y = (np.asarray(out["y_fake_fused"], np.float32),
+                           np.asarray(out["y_fake_list"], np.float32))
+            if stale_y is not None:
+                dump["y_fake_fused"].append(_nchw(stale_y[0]))
+                dump["y_fake_list"].append(
+                    _nchw(stale_y[1]).transpose(1, 0, 2, 3, 4))
+            diag = grid_np[np.arange(M), np.arange(M)]
+            dump["xi_fake_list"].append(
+                _nchw(diag).transpose(1, 0, 2, 3, 4))
+            mix = np.stack(_mix_views(grid_np), 0)
+            dump["xi_fake_mix"].append(_nchw(mix).transpose(1, 0, 2, 3, 4))
+            dump["s_list"].append(_nchw(np.asarray(
+                out["s"], np.float32)).transpose(1, 0, 2, 3, 4))
+            dump["z_list"].append(
+                np.asarray(out["z"], np.float32).transpose(1, 0, 2))
+            if z_find is not None:
+                dump["z_list_find_all"].append(
+                    np.asarray(z_find, np.float32).transpose(1, 0, 2))
+
+        n_iter = it + 1
+        if it > cfg.eval_max_iters - 1:                 # main_missing.py:561
+            break
+
+    stat = {k: v / max(n_iter, 1) for k, v in loss_sums.items()}
+    for k, v in metrics_acc.items():
+        stat[k] = float(np.mean(v))
+
+    if phase == "test" and save_res:
+        path = os.path.join(res_path, "results_all" + info + ".h5")
+        with h5py.File(path, "w") as f:
+            for k, v in dump.items():
+                if v:
+                    f.create_dataset(k, data=np.concatenate(v, 0))
+    return stat

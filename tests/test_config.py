@@ -1,0 +1,66 @@
+"""Config system: derivations, snapshot/merge, validation."""
+
+import os
+
+import pytest
+import yaml
+
+from representation_disentanglement_tpu.config import (
+    Config, load_config, resolve_run)
+
+
+def test_derivations_match_reference_rules(tmp_path):
+    d = {"dataset_name": "ZeroDose", "contrast_list": ["T1", "T2_FLAIR"],
+         "norm_type": "mean", "block_size": 2, "lambda_adv_s": 0.5}
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.dump(d))
+    cfg = load_config(str(p))
+    assert cfg.in_num_ch == 2 * 5           # main_missing.py:27
+    assert cfg.is_discrim_s is True         # main_missing.py:26
+    assert cfg.target_output_act == "softplus"  # main_missing.py:75-79
+    assert cfg.input_output_act == "softplus"   # main_missing.py:83-86
+
+
+def test_reference_yaml_loads_verbatim():
+    ref_yaml = "/root/reference/src/config.yaml"
+    if not os.path.exists(ref_yaml):
+        pytest.skip("reference unavailable")
+    cfg = load_config(ref_yaml)
+    assert cfg.dataset_name == "BraTS"
+    assert cfg.modality_num == 4
+    assert cfg.in_num_ch == 28
+    assert cfg.lambda_sim_s == 10.0
+    assert cfg.others["softmax_remove_mask"] is True
+    cfg.phase = "train"
+    cfg.validate()                          # shipped config must be valid
+
+
+def test_resume_merge_preserves_live_keys(tmp_path):
+    cfg = Config(phase="train", continue_train=False, lr=1e-3,
+                 ckpt_timelabel="run1")
+    cfg.derive()
+    cfg.merge_saved({"phase": "test", "continue_train": True, "lr": 5e-4,
+                     "batch_size": 2})
+    assert cfg.phase == "train"             # live keys win
+    assert cfg.continue_train is False
+    assert cfg.lr == 5e-4                   # saved values win elsewhere
+    assert cfg.batch_size == 2
+
+
+def test_resolve_run_roundtrip(tmp_path):
+    cfg = Config(ckpt_timelabel="t0", phase="test")
+    cfg.derive()
+    cfg = resolve_run(cfg, ckpt_root=str(tmp_path))
+    assert os.path.exists(os.path.join(cfg.ckpt_path, "config.yaml"))
+    # a second resolve with load_yaml merges the snapshot
+    cfg2 = Config(ckpt_timelabel="t0", phase="test", lr=9e-9)
+    cfg2.derive()
+    cfg2 = resolve_run(cfg2, ckpt_root=str(tmp_path))
+    assert cfg2.lr == cfg.lr                # snapshot wins
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="divisible by 32"):
+        Config(input_height=100).derive().validate()
+    with pytest.raises(ValueError, match="out_num_ch=4"):
+        Config(lambda_recon_y=1.0, out_num_ch=1).derive().validate()

@@ -1,0 +1,58 @@
+"""Metric parity vs an independent scipy implementation of the skimage
+algorithms the reference calls (src/util.py:955-992)."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import uniform_filter
+
+from representation_disentanglement_tpu.metrics import (
+    compute_reconstruction_metrics, compute_segmentation_metrics)
+
+
+def ssim_scipy(target, pred, data_range, win=7):
+    """skimage.structural_similarity for 2D float inputs, defaults
+    (uniform 7x7 windows, sample covariance, border crop)."""
+    K1, K2 = 0.01, 0.03
+    NP = win * win
+    cov_norm = NP / (NP - 1)
+    filt = lambda a: uniform_filter(a.astype(np.float64), size=win)
+    ux, uy = filt(target), filt(pred)
+    uxx, uyy, uxy = filt(target * target), filt(pred * pred), filt(
+        target * pred)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    pad = (win - 1) // 2
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def test_reconstruction_metrics_match_scipy(rng):
+    t = rng.normal(size=(3, 40, 56, 1)).astype(np.float32)
+    p = (t + 0.3 * rng.normal(size=t.shape)).astype(np.float32)
+    got = compute_reconstruction_metrics(t, p)
+    for b in range(3):
+        tt = t[b, ..., 0] - t[b, ..., 0].min()
+        pp = p[b, ..., 0] - p[b, ..., 0].min()
+        rng_ = tt.max()
+        want_mse = np.mean((tt - pp) ** 2)
+        want_psnr = 10 * np.log10(rng_ ** 2 / want_mse)
+        want_ssim = ssim_scipy(tt, pp, rng_)
+        np.testing.assert_allclose(got["rmse"][b], want_mse, rtol=1e-4)
+        np.testing.assert_allclose(got["psnr"][b], want_psnr, rtol=1e-4)
+        np.testing.assert_allclose(got["ssim"][b], want_ssim, rtol=1e-3)
+
+
+def test_segmentation_metrics():
+    t = np.zeros((2, 8, 8, 1), np.float32)
+    p = np.zeros((2, 8, 8, 3), np.float32)
+    t[0, :4, :, 0] = 1                       # class 1 region
+    p[0, :4, :, 0] = 0.9                     # perfect class-1 pred
+    got = compute_segmentation_metrics(t, p)
+    # class 1 dice = (2*32+1)/(32+32+1) = 1.0; classes 2,3 = 1/1 = 1
+    np.testing.assert_allclose(got["dice"][0], 1.0)
+    np.testing.assert_allclose(got["iou"][0], 1.0)
+    # sample 1: all empty -> smoothed to 1
+    np.testing.assert_allclose(got["dice"][1], 1.0)
