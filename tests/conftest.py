@@ -5,7 +5,9 @@ no tests; the fake-mesh harness is how we test sharding without TPUs)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the environment presets JAX_PLATFORMS=axon (the TPU);
+# tests must be hermetic on CPU with a virtual 8-device mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
