@@ -84,6 +84,16 @@ class MultimodalModel(nn.Module):
     ana_dec_act: str = "softmax"     # others['ana_dec_act']
     softmax_remove_mask: bool = True # others['softmax_remove_mask']
     fix_act_bug: bool = False
+    remat: bool = True               # segmented rematerialization: recompute
+                                     # each stage's activations in backward
+                                     # instead of storing them (HBM >> FLOPs
+                                     # tradeoff; essential for the M^2 decode
+                                     # grid at full 160x192 resolution)
+
+    def _maybe_remat(self, fn):
+        """jax.checkpoint a (module, *arrays) stage function; static flags
+        (train, ...) must be closed over, not passed as args."""
+        return nn.remat(fn) if self.remat else fn
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -151,17 +161,17 @@ class MultimodalModel(nn.Module):
     def encode_anatomy(self, x, mask_img, *, train: bool):
         """x: [M, B, H, W, Cb]; mask_img: [B, H, W] -> s: [M, B, H, W, Cs]."""
         types = self._types()
-        if self.shared_ana_enc:
-            feats = self.anatomy_encoder_enc(x, types, train=train)
-        else:
-            feats = self.anatomy_encoder_enc(x, types, train=train)
-        s_logits = self.anatomy_encoder_dec(feats, types, train=train)
+        enc = self._maybe_remat(lambda m, a, t: m(a, t, train=train))
+        feats = enc(self.anatomy_encoder_enc, x, types)
+        dec = self._maybe_remat(lambda m, f, t: m(f, t, train=train))
+        s_logits = dec(self.anatomy_encoder_dec, feats, types)
         return anatomy_activation(s_logits, mask_img, self.ana_dec_act,
                                   self.softmax_remove_mask)
 
     def encode_modality(self, x, s):
         """-> (z_mean, z_log_var): [M, B, z]."""
-        return self.modality_encoder(x, s, self._types())
+        fn = self._maybe_remat(lambda m, a, b, t: m(a, b, t))
+        return fn(self.modality_encoder, x, s, self._types())
 
     def sample_z(self, rng, z_mean, z_log_var):
         """z = mean + eps * exp(0.5 * log_var)  (src/model.py:3159-3162)."""
@@ -184,14 +194,15 @@ class MultimodalModel(nn.Module):
         types_pair = jnp.broadcast_to(types[None, :], (M, M))    # t[i,j]=1+j
 
         flat = lambda a: a.reshape((M * M,) + a.shape[2:])
+        dec = self._maybe_remat(lambda m, *a: m(*a))
         if self.shared_inp_dec:
-            out = self.input_decoder(flat(s_pair), flat(z_pair),
-                                     flat(types_pair))
+            out = dec(self.input_decoder, flat(s_pair), flat(z_pair),
+                      flat(types_pair))
             return out.reshape((M, M) + out.shape[1:])
-        mid = self.input_decoder_shared(flat(s_pair), flat(z_pair),
-                                        flat(types_pair))
+        mid = dec(self.input_decoder_shared, flat(s_pair), flat(z_pair),
+                  flat(types_pair))
         mid = mid.reshape((M, M) + mid.shape[1:])            # [i, j, B, ...]
-        out = self.input_decoder_notshared(s_pair, mid, types)
+        out = dec(self.input_decoder_notshared, s_pair, mid, types)
         return out                                            # [i, j, B, ...]
 
     def decode_outputs(self, s, mask, *, train: bool,
@@ -204,13 +215,14 @@ class MultimodalModel(nn.Module):
         M, B = s.shape[0], s.shape[1]
         ones = jnp.ones((B, 1), s.dtype)
         fused = fuse_anatomy(s, mask, self.fuse_method)
+        outdec = self._maybe_remat(lambda m, a: m(a, train=train))
         if per_modality:
             groups = [fuse_anatomy(s[i:i + 1], ones, self.fuse_method)
                       for i in range(M)] + [fused]
             stacked = jnp.stack(groups, axis=0)              # [M+1, B, ...]
-            y, _ = self.output_decoder(stacked, train=train)
+            y, _ = outdec(self.output_decoder, stacked)
             return y[:M], y[M]
-        y, _ = self.output_decoder(fused, train=train)
+        y, _ = outdec(self.output_decoder, fused)
         return None, y
 
     def discriminate(self, s_pair, *, train: bool):

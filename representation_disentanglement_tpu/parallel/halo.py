@@ -1,0 +1,56 @@
+"""Depth-sharded whole-volume 3D inference (context parallelism for images).
+
+The BASELINE "scaled variant" runs whole-volume batched 3D inference with
+the depth axis sharded across the mesh (SURVEY §5.7).  ``shard_map`` splits
+the volume's D axis over the ``depth`` mesh axis; inside, the 3D primitives
+(ops/conv3d) transparently switch to:
+
+- one-hop halo exchange (``ppermute`` over ICI) before every depth-padded
+  conv — exact, since every conv here has kd in {1, 3};
+- ``pmean`` for GroupNorm statistics and the VAE's global pooling;
+- local nearest upsampling (alignment-preserving for 2x blocks).
+
+The result is bitwise-equivalent (up to reduction order) to the unsharded
+forward — verified in tests/test_halo3d.py on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from representation_disentanglement_tpu.ops.conv3d import depth_sharded
+
+
+def make_depth_mesh(n: int, axis: str = "depth") -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(n), (axis,))
+
+
+def sharded_nvnet_infer(model, variables, mesh: Mesh, axis: str = "depth"):
+    """Returns a jitted fn(x[B, D, H, W, C]) -> (uout, vout, mu, logvar)
+    with D sharded over `axis`.  Constraints: D and D//16 divisible by the
+    mesh size; per-shard depth divisible by 8 (3 stride-2 stages)."""
+
+    def local_fwd(variables, x_local):
+        with depth_sharded(axis):
+            return model.apply(variables, x_local, train=False, rng=None)
+
+    fn = shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis), P(), P()),
+        check_rep=False)
+
+    @jax.jit
+    def run(x):
+        x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+        v = jax.device_put(variables, NamedSharding(mesh, P()))
+        return fn(v, x)
+
+    return run

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# belt-and-braces: a pytest plugin may have imported jax before this
+# conftest ran, so also switch the platform through jax.config (effective
+# as long as no backend is initialized yet)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
 # parity tests compare against torch f32: force full-precision matmuls
 jax.config.update("jax_default_matmul_precision", "highest")

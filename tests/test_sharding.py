@@ -33,7 +33,8 @@ def test_dp_grads_match_single_device(rng):
     b0 = synth_batch(cfg, rng)
     state, txs = create_train_state(model, cfg, jax.random.PRNGKey(0), b0)
     step, n_micro = make_train_step(model, cfg, txs, donate=False)
-    stacked = synth_batch(cfg, rng, n_micro)
+    assert n_micro == 1
+    stacked = jax.tree.map(lambda v: v[None], synth_batch(cfg, rng))
     rngs = jax.random.split(jax.random.PRNGKey(7), n_micro)
     sim = jnp.zeros((n_micro, 2), jnp.int32).at[:, 1].set(1)
     adv = sim
@@ -48,7 +49,10 @@ def test_dp_grads_match_single_device(rng):
                   first_of_epoch=False)
 
     np.testing.assert_allclose(float(m1["all"]), float(m2["all"]), rtol=1e-5)
+    # post-Adam params: the first Adam step is ~lr * sign(g), so f32
+    # reduction-order noise on near-zero grads can flip an element by up to
+    # 2*lr = 4e-4; anything beyond that indicates a real sharding bug
     l1 = jax.tree.leaves(s1.params)
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

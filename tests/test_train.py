@@ -14,12 +14,13 @@ from representation_disentanglement_tpu.training.train import (
 
 
 def tiny_cfg(**kw):
-    cfg = Config(dataset_name="BraTS", contrast_list=["T1", "T2"],
-                 input_height=32, input_width=64, batch_size=2,
-                 effective_batch=4, shared_inp_dec=False, is_cond=True,
-                 others={"mod_enc_s": False, "ana_dec_act": "softmax",
-                         "old": False, "softmax_remove_mask": True}, **kw)
-    return cfg.derive().validate()
+    base = dict(dataset_name="BraTS", contrast_list=["T1", "T2"],
+                input_height=32, input_width=64, batch_size=2,
+                effective_batch=4, shared_inp_dec=False, is_cond=True,
+                others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                        "old": False, "softmax_remove_mask": True})
+    base.update(kw)
+    return Config(**base).derive().validate()
 
 
 def synth_batch(cfg, rng, n_micro=1):
