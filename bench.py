@@ -38,6 +38,9 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
+    from representation_disentanglement_tpu.utils.profiling import (
+        enable_compile_cache)
+    enable_compile_cache()
     from __graft_entry__ import _make_cfg, _synthetic_batch
     from representation_disentanglement_tpu.main_missing import build_model
     from representation_disentanglement_tpu.training.train import (

@@ -89,11 +89,13 @@ def _stack_micro(micro):
 def train(cfg: Config, model, state: TrainState, txs, loaders,
           start_epoch: int, scheduler: ReduceLROnPlateau) -> TrainState:
     train_loader, val_loader, _ = loaders
+    from representation_disentanglement_tpu.utils.profiling import StepTimer
     train_step, n_micro = make_train_step(model, cfg, txs)
     eval_steps = make_eval_step(model, cfg)
     pair_rng = np.random.default_rng(cfg.seed)
     z_key = jax.random.PRNGKey(cfg.seed)
     monitor_best = 100.0
+    timer = StepTimer(warmup=1)
 
     for epoch in range(start_epoch + 1, cfg.epochs):
         t0 = time.time()
@@ -119,6 +121,7 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
                 jnp.float32(scheduler.lr), first_of_epoch=first)
             first = False
             n_iters += n_micro
+            timer.step(cfg.effective_batch)
             if not np.isfinite(float(metrics["all"])):
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch}: "
@@ -132,7 +135,8 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
                                           "sim_s", "sim_z", "latent_z")))
         stat_train = {k: v / max(n_iters, 1) for k, v in loss_sums.items()}
         save_result_stat(stat_train, cfg.ckpt_path, info=f"epoch[{epoch:2d}]")
-        print(f"epoch {epoch} train ({time.time() - t0:.1f}s):", stat_train)
+        print(f"epoch {epoch} train ({time.time() - t0:.1f}s, "
+              f"{timer.throughput:.1f} slices/s):", stat_train)
 
         stat = evaluate(model, state.params, state.batch_stats, cfg,
                         val_loader, phase="val", set_name="val",
@@ -158,7 +162,36 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
     return state
 
 
-def run(cfg: Config, ckpt_root: str = "../ckpt") -> dict:
+def make_dropoff_loader(cfg: Config, sel_idx_list=(438, 450)):
+    """`set: test_dropoff` harness (main_missing.py:348-350): exhaustive
+    <=2-contrast drop subsets over selected test rows."""
+    from representation_disentanglement_tpu.data.dataset import (
+        TestDropoffDataset, VolumeStore, _H5_NAMES, load_idx_list)
+    names = _H5_NAMES[cfg.dataset_name]
+    h5_name = names[0] if cfg.norm_type == "mean" else names[1]
+    store = VolumeStore(os.path.join(cfg.data_path, h5_name))
+    if cfg.dataset_name == "BraTS":
+        fold_txt = f"fold_BraTS_{cfg.fold}_test_noval.txt"
+    elif cfg.dataset_name == "ZeroDose":
+        from representation_disentanglement_tpu.data.dataset import (
+            _zerodose_fold_names)
+        fold_txt = _zerodose_fold_names(cfg.fold, cfg.modality_num)[2]
+    else:
+        fold_txt = f"fold_{cfg.dataset_name}_{cfg.fold}_test.txt"
+    subjs, idxs = load_idx_list(os.path.join(cfg.data_path, fold_txt))
+    sel = [i for i in sel_idx_list if i < len(subjs)] or list(
+        range(min(2, len(subjs))))
+    ds = TestDropoffDataset(store, subjs, idxs, sel,
+                            block_size=cfg.block_size,
+                            contrast_list=cfg.contrast_list,
+                            dataset_name=cfg.dataset_name,
+                            image_size=cfg.input_size)
+    return BatchLoader(ds, cfg.batch_size, shuffle=False,
+                       prefetch=cfg.prefetch_depth)
+
+
+def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
+        eval_info: str = "") -> dict:
     cfg = resolve_run(cfg, ckpt_root=ckpt_root).derive().validate()
     print(cfg.model_name, "->", cfg.ckpt_path)
     model = build_model(cfg)
@@ -198,8 +231,17 @@ def run(cfg: Config, ckpt_root: str = "../ckpt") -> dict:
         cfg.snapshot_txt(cfg.ckpt_path)
         train(cfg, model, state, txs, loaders, start_epoch, scheduler)
         return {}
-    stat = evaluate(model, state.params, state.batch_stats, cfg, loaders[2],
-                    phase="test", set_name="test", save_res=True)
+    if eval_set == "test_dropoff":
+        loader, set_name = make_dropoff_loader(cfg), "test_dropoff"
+    elif eval_set == "train":
+        loader, set_name = loaders[0], "train"
+    elif eval_set == "val":
+        loader, set_name = loaders[1], "val"
+    else:
+        loader, set_name = loaders[2], "test"
+    stat = evaluate(model, state.params, state.batch_stats, cfg, loader,
+                    phase="test", set_name=set_name, save_res=True,
+                    info=eval_info)
     print(stat)
     return stat
 
@@ -208,9 +250,17 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", default="config.yaml")
     ap.add_argument("--ckpt-root", default="../ckpt")
+    ap.add_argument("--set", dest="eval_set", default="test",
+                    choices=["test", "val", "train", "test_dropoff"],
+                    help="test-phase loader (ref main_missing.py:611-623)")
+    ap.add_argument("--info", default="",
+                    help="eval variant tag; 'nearest_neighbour' / 'mean' "
+                         "activate latent retrieval (needs a prior "
+                         "results_all.h5 bank)")
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
-    return run(cfg, ckpt_root=args.ckpt_root)
+    return run(cfg, ckpt_root=args.ckpt_root, eval_set=args.eval_set,
+               eval_info=args.info)
 
 
 if __name__ == "__main__":
