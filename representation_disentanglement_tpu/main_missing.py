@@ -48,20 +48,26 @@ from representation_disentanglement_tpu.training.train import (
 
 
 def build_model(cfg: Config) -> MultimodalModel:
+    # others['old'] selects the reference's pre-CondConv module set
+    # (src/model.py:2938-2940), which is mathematically the non-conditional
+    # shared-decoder configuration of the same architecture (SURVEY §2.6)
+    is_cond = cfg.is_cond and not cfg.others.get("old", False)
+    shared_inp_dec = cfg.shared_inp_dec or cfg.others.get("old", False)
     return MultimodalModel(
         modality_num=cfg.modality_num, in_num_ch=cfg.block_ch,
         out_num_ch=cfg.out_num_ch, s_num_ch=cfg.s_num_ch, z_size=cfg.z_size,
-        input_size=cfg.input_size, is_cond=cfg.is_cond,
+        input_size=cfg.input_size, is_cond=is_cond,
         is_discrim_s=cfg.is_discrim_s, is_distri_z=cfg.is_distri_z,
         shared_ana_enc=cfg.shared_ana_enc, shared_mod_enc=cfg.shared_mod_enc,
-        shared_inp_dec=cfg.shared_inp_dec, fuse_method=cfg.fuse_method,
+        shared_inp_dec=shared_inp_dec, fuse_method=cfg.fuse_method,
         input_output_act=cfg.input_output_act,
         target_output_act=cfg.target_output_act,
         target_model_name=cfg.target_model_name,
         mod_enc_s=cfg.others.get("mod_enc_s", True),
         ana_dec_act=cfg.others.get("ana_dec_act", "softmax"),
         softmax_remove_mask=cfg.others.get("softmax_remove_mask", False),
-        fix_act_bug=cfg.fix_activation_bug)
+        fix_act_bug=cfg.fix_activation_bug,
+        use_pallas=getattr(cfg, "use_pallas", False))
 
 
 def make_loaders(cfg: Config):

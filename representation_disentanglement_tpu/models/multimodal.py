@@ -84,6 +84,8 @@ class MultimodalModel(nn.Module):
     ana_dec_act: str = "softmax"     # others['ana_dec_act']
     softmax_remove_mask: bool = True # others['softmax_remove_mask']
     fix_act_bug: bool = False
+    use_pallas: bool = False         # fused Pallas SPADE interior (TPU only;
+                                     # auto-fallback on CPU / oversize slabs)
     remat: bool = True               # segmented rematerialization: recompute
                                      # each stage's activations in backward
                                      # instead of storing them (HBM >> FLOPs
@@ -124,7 +126,7 @@ class MultimodalModel(nn.Module):
                 axis_size=M)(**mod_kw)
 
         dec_kw = dict(image_size=self.input_size, z_num_ch=128,
-                      is_cond=self.is_cond)
+                      is_cond=self.is_cond, use_pallas=self.use_pallas)
         if self.shared_inp_dec:
             self.input_decoder = SPADEFull(
                 in_num_ch=self.in_num_ch,

@@ -30,22 +30,31 @@ from representation_disentanglement_tpu.ops import (
 
 
 class SPADEBlock(nn.Module):
-    """zi-stream InstanceNorm, si-stream conv -> (gamma, beta) modulation."""
+    """zi-stream InstanceNorm, si-stream conv -> (gamma, beta) modulation.
+
+    With ``use_pallas`` the instance-norm + modulation interior runs as one
+    fused Pallas kernel (ops/pallas_kernels.py) — single VMEM pass instead
+    of a reduction/elementwise round-trip through HBM."""
     input_size: Tuple[int, int]
     in_num_ch: int = 128
     out_num_ch: int = 128
     is_cond: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, si, zi, types=None):
         cv = lambda ch, name: MaybeCondConv(ch, 3, 1, 1, is_cond=self.is_cond,
                                             name=name)
-        zi_out = instance_norm(zi)
         si_up = bilinear_resize(si, self.input_size, align_corners=False)
         si_out = cv(self.in_num_ch, "si_layers")(si_up, types)
         gamma = cv(self.in_num_ch, "gamma")(si_out, types)
         beta = cv(self.in_num_ch, "beta")(si_out, types)
-        mix = zi_out * (1.0 + gamma) + beta
+        if self.use_pallas:
+            from representation_disentanglement_tpu.ops.pallas_kernels \
+                import in_modulate
+            mix = in_modulate(zi, gamma, beta)
+        else:
+            mix = instance_norm(zi) * (1.0 + gamma) + beta
         return cv(self.out_num_ch, "out")(mix, types)
 
 
@@ -76,17 +85,18 @@ class SPADEShared(nn.Module):
     image_size: Tuple[int, int]
     z_num_ch: int = 128
     is_cond: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, si, zi, types=None):
         hs, ws = self.image_size
         zc = self.z_num_ch
         z0 = ZScaler(self.image_size, zc)(zi)
-        h = SPADEBlock((hs // 32, ws // 32), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 32, ws // 32), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp1")(si, z0, types)
-        h = SPADEBlock((hs // 16, ws // 16), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 16, ws // 16), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp2")(si, _up2(h), types)
-        h = SPADEBlock((hs // 8, ws // 8), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 8, ws // 8), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp3")(si, _up2(h), types)
         return _up2(h)                                       # 1/4 res, zc ch
 
@@ -98,16 +108,17 @@ class SPADENotShared(nn.Module):
     z_num_ch: int = 128
     is_cond: bool = False
     output_activation: str = "softplus"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, si, mid, types=None):
         hs, ws = self.image_size
         zc = self.z_num_ch
-        h = SPADEBlock((hs // 4, ws // 4), zc, zc // 2, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 4, ws // 4), zc, zc // 2, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp4")(si, mid, types)
         h = SPADEBlock((hs // 2, ws // 2), zc // 2, zc // 4,
-                       is_cond=self.is_cond, name="sp5")(si, _up2(h), types)
-        h = SPADEBlock((hs, ws), zc // 4, zc // 8, is_cond=self.is_cond,
+                       is_cond=self.is_cond, use_pallas=self.use_pallas, name="sp5")(si, _up2(h), types)
+        h = SPADEBlock((hs, ws), zc // 4, zc // 8, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp6")(si, _up2(h), types)
         out = MaybeCondConv(self.in_num_ch, 1, 1, 0, is_cond=self.is_cond,
                             name="out")(h, types)
@@ -122,23 +133,24 @@ class SPADEFull(nn.Module):
     z_num_ch: int = 128
     is_cond: bool = False
     output_activation: str = "softplus"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, si, zi, types=None):
         hs, ws = self.image_size
         zc = self.z_num_ch
         z0 = ZScaler(self.image_size, zc)(zi)
-        h = SPADEBlock((hs // 32, ws // 32), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 32, ws // 32), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp1")(si, z0, types)
-        h = SPADEBlock((hs // 16, ws // 16), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 16, ws // 16), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp2")(si, _up2(h), types)
-        h = SPADEBlock((hs // 8, ws // 8), zc, zc, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 8, ws // 8), zc, zc, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp3")(si, _up2(h), types)
-        h = SPADEBlock((hs // 4, ws // 4), zc, zc // 2, is_cond=self.is_cond,
+        h = SPADEBlock((hs // 4, ws // 4), zc, zc // 2, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp4")(si, _up2(h), types)
         h = SPADEBlock((hs // 2, ws // 2), zc // 2, zc // 4,
-                       is_cond=self.is_cond, name="sp5")(si, _up2(h), types)
-        h = SPADEBlock((hs, ws), zc // 4, zc // 8, is_cond=self.is_cond,
+                       is_cond=self.is_cond, use_pallas=self.use_pallas, name="sp5")(si, _up2(h), types)
+        h = SPADEBlock((hs, ws), zc // 4, zc // 8, is_cond=self.is_cond, use_pallas=self.use_pallas,
                        name="sp6")(si, _up2(h), types)
         out = MaybeCondConv(self.in_num_ch, 1, 1, 0, is_cond=self.is_cond,
                             name="out")(h, types)

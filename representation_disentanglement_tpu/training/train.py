@@ -146,8 +146,12 @@ def make_train_step(model, cfg, txs, donate: bool = True):
     needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
     freeze = cfg.fix_pretrain and cfg.continue_train
 
+    cast = (lambda mb: dict(mb, inputs=mb["inputs"].astype(jnp.bfloat16))) \
+        if cfg.compute_dtype == "bfloat16" else (lambda mb: mb)
+
     def loss_fn(params, batch_stats, mb, rng, sim_pair, adv_pair,
                 compute_y: bool):
+        mb = cast(mb)
         out, muts = model.apply(
             {"params": params, "batch_stats": batch_stats},
             mb["inputs"], mb["mask"], mb["mask_img"], rng, train=True,
