@@ -1,0 +1,79 @@
+"""Channel-sharded (TP) 3D inference equivalence + retrieval eval e2e."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_channel_sharded_nvnet_matches(rng):
+    from representation_disentanglement_tpu.models.unet3d import NVNet3D
+    from representation_disentanglement_tpu.parallel.tp import (
+        make_tp_mesh, shard_params_by_channel)
+
+    D, H, W = 16, 32, 32
+    model = NVNet3D(input_shape=(D, H, W), in_channels=2, out_channels=3,
+                    init_channels=16, dropout_p=0.0)
+    x = jnp.asarray(rng.normal(size=(1, D, H, W, 2)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    uout, vout, mu, lv = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x)
+
+    mesh = make_tp_mesh(4)
+    sharded = {"params": shard_params_by_channel(variables["params"], mesh)}
+    u2, v2, m2, l2 = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(sharded, x)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(uout), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mu), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_retrieval_eval_e2e(tmp_path, rng):
+    """Full retrieval imputation flow: test eval writes the latent bank,
+    nearest_neighbour / mean re-decode from it (main_missing.py:374-428)."""
+    from representation_disentanglement_tpu.config import Config
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_missing import (
+        build_model, make_loaders)
+    from representation_disentanglement_tpu.training.evaluate import evaluate
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_dataset(data_dir, "BraTS", ("T1", "T2"), "z-score",
+                           n_subj=6, shape=(32, 64, 16), slice_range=(4, 12))
+    cfg = Config(dataset_name="BraTS", contrast_list=["T1", "T2"],
+                 input_height=32, input_width=64, batch_size=4,
+                 effective_batch=4, data_path=data_dir,
+                 shared_inp_dec=False, is_cond=True,
+                 others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                         "old": False, "softmax_remove_mask": True})
+    cfg.derive().validate()
+    cfg.ckpt_path = str(tmp_path / "run")
+    model = build_model(cfg)
+    loaders = make_loaders(cfg)
+    sample = next(iter(loaders[2]))
+    sample = {k: sample[k] for k in ("inputs", "targets", "mask",
+                                     "mask_img")}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+
+    stat = evaluate(model, state.params, state.batch_stats, cfg, loaders[2],
+                    phase="test", set_name="test", save_res=True)
+    bank = os.path.join(cfg.ckpt_path, "result_test", "results_all.h5")
+    assert os.path.exists(bank)
+
+    for info in ("mean", "nearest_neighbour"):
+        stat2 = evaluate(model, state.params, state.batch_stats, cfg,
+                         loaders[2], phase="test", set_name="test",
+                         save_res=True, info=info)
+        assert np.isfinite(stat2["recon_x_mix"])
+        out = os.path.join(cfg.ckpt_path, "result_test",
+                           f"results_all{info}.h5")
+        assert os.path.exists(out)
+        import h5py
+        with h5py.File(out) as f:
+            assert "z_list_find_all" in f
