@@ -35,7 +35,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
-               steps, dtype="bfloat16"):
+               steps, dtype="bfloat16", use_pallas=False):
     import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu.utils.profiling import (
@@ -48,6 +48,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
 
     cfg = _make_cfg(height, width, contrasts, batch_size, effective_batch)
     cfg.compute_dtype = dtype
+    cfg.use_pallas = use_pallas
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(cfg, rng)
@@ -151,6 +152,10 @@ def main():
                     help="tiny shapes, CPU-safe")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas SPADE interior")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     if args.smoke:
@@ -162,7 +167,9 @@ def main():
         bs, eb = 8, 16
         steps = args.steps or 20
 
-    train_sps, infer_sps, loss = bench_ours(h, w, contrasts, bs, eb, steps)
+    train_sps, infer_sps, loss = bench_ours(
+        h, w, contrasts, bs, eb, steps, dtype=args.dtype,
+        use_pallas=args.pallas)
 
     baseline = None
     if not args.no_baseline:

@@ -44,13 +44,18 @@ def _pad_pair(padding: Union[int, Sequence[int]]):
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b=None, stride=1, padding=0,
            preferred_dtype=jnp.float32) -> jnp.ndarray:
-    """Plain NHWC conv. x: [B,H,W,Cin], w: [kh,kw,Cin,Cout], b: [Cout]."""
+    """Plain NHWC conv. x: [B,H,W,Cin], w: [kh,kw,Cin,Cout], b: [Cout].
+
+    bf16 inputs run the conv natively in bf16 (the MXU still accumulates in
+    f32 internally); requesting an f32 output there breaks the conv
+    transpose rule's dtype matching under autodiff."""
     if isinstance(stride, int):
         stride = (stride, stride)
+    pref = preferred_dtype if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride,
         padding=_pad_pair(padding), dimension_numbers=DN,
-        preferred_element_type=preferred_dtype)
+        preferred_element_type=pref)
     y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)

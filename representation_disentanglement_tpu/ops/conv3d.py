@@ -76,9 +76,10 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b=None, stride=1, padding=1,
         assert w.shape[0] == 2 * halo + 1, "halo path expects kd == 2*pad+1"
         x = _halo_exchange_d(x, halo, axis)
         padding = [(0, 0), padding[1], padding[2]]
+    pref = preferred_dtype if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=padding,
-        dimension_numbers=DN3, preferred_element_type=preferred_dtype)
+        dimension_numbers=DN3, preferred_element_type=pref)
     y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
