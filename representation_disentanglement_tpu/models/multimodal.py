@@ -134,14 +134,18 @@ class MultimodalModel(nn.Module):
         else:
             self.input_decoder_shared = SPADEShared(**dec_kw)
             # one not-shared half per modality, vmapped over the params axis;
-            # types broadcast (the j-axis types are identical for every i)
+            # types broadcast (the j-axis types are identical for every i).
+            # NOTE: the fused Pallas SPADE interior is disabled inside the
+            # vmapped half — pallas_call's vmap batching rule materializes
+            # the mapped axis into one kernel invocation and overflows VMEM.
             self.input_decoder_notshared = nn.vmap(
                 SPADENotShared,
                 variable_axes={"params": 0},
                 split_rngs={"params": True}, in_axes=(0, 0, None),
                 out_axes=0, axis_size=M)(
                 in_num_ch=self.in_num_ch,
-                output_activation=self.input_output_act, **dec_kw)
+                output_activation=self.input_output_act,
+                **dict(dec_kw, use_pallas=False))
 
         fuse_num_ch = 3 if self.fuse_method == "mean-max-min" else 1
         del fuse_num_ch  # input width is inferred from the fused tensor
