@@ -120,8 +120,9 @@ class Config:
     seed: int = 10                           # (main_missing.py:18)
     fix_activation_bug: bool = False         # quirk Q1: False = parity with
                                              # the reference's overwritten acts
-    use_pallas: bool = False                 # fused Pallas SPADE interior
-                                             # (TPU only; auto-fallback)
+    use_pallas: bool = True                  # fused Pallas SPADE interior
+                                             # (TPU only; auto-falls back on
+                                             # CPU / oversize slabs / vmap)
     prefetch_depth: int = 2
     log_every: int = 10
     eval_max_iters: int = 501                # (main_missing.py:561-562)
