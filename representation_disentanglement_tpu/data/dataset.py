@@ -102,7 +102,18 @@ class VolumeStore:
 
 
 class SliceDataset:
-    """Reference ``ZeroDoseDataset`` parity (src/util.py:445-568)."""
+    """Reference ``ZeroDoseDataset`` parity (src/util.py:445-568).
+
+    Besides the per-sample ``__getitem__`` (reference semantics), it offers
+    a vectorized ``get_batch`` fast path: volumes are packed once into
+    depth-major [D, H, W] arrays so a 7-slice block is one contiguous copy,
+    and a whole batch is gathered with C-speed numpy — the reference's
+    per-sample h5py random reads (src/util.py:508-516) are its main input
+    bottleneck (SURVEY §7.4 item 6).
+
+    Note: the reference's 2D `aug` branch is pdb-gated (util.py:557-561,
+    a literal pdb.set_trace before the flip) — i.e. unusable upstream — so
+    `aug` is accepted for API parity but intentionally inert here."""
 
     def __init__(self, dataset_name: str, store: VolumeStore,
                  subj_list: np.ndarray, idx_list: np.ndarray,
@@ -122,6 +133,73 @@ class SliceDataset:
         self.skull_strip = skull_strip
         self.image_size = list(image_size)
         self.rng = rng or np.random.default_rng(10)
+        self._packed: Optional[dict] = None
+
+    # -- vectorized fast path ------------------------------------------
+    def _pack(self):
+        """Depth-major [D, H, W] copies of every (subj, contrast) volume +
+        target, done once."""
+        packed = {"vols": {}, "tgts": {}}
+        tkey = _TARGET_KEY.get(self.dataset_name)
+        for subj in np.unique(self.subj_list):
+            subj = str(subj)
+            for contrast in self.contrast_list:
+                key = f"{subj}/{contrast}"
+                if key in self.store:
+                    packed["vols"][(subj, contrast)] = np.ascontiguousarray(
+                        np.transpose(self.store.get(key), (2, 0, 1)))
+            if tkey is not None and f"{subj}/{tkey}" in self.store:
+                t = np.ascontiguousarray(np.transpose(
+                    self.store.get(f"{subj}/{tkey}"), (2, 0, 1)))
+                if self.dataset_name == "BraTS":
+                    t = t.copy()
+                    t[t == 4] = 3.0
+                packed["tgts"][subj] = t
+        self._packed = packed
+
+    def get_batch(self, indices: Sequence[int]) -> dict:
+        """Collated batch via vectorized gather: inputs [M, B, H, W, bc]."""
+        if self._packed is None:
+            self._pack()
+        b = self.block_size
+        bc = 2 * b + 1
+        H, W = self.image_size
+        Bn = len(indices)
+        Mn = len(self.contrast_list)
+        inputs = np.zeros((Mn, Bn, H, W, bc), np.float32)
+        targets = np.zeros((Bn, H, W, 1), np.float32)
+        mask = np.zeros((Bn, Mn), np.float32)
+        subj_ids, slice_idxs = [], []
+        for j, idx in enumerate(indices):
+            subj = str(self.subj_list[idx])
+            sl = self._clamp_slice(int(self.idx_list[idx]))
+            subj_ids.append(subj)
+            slice_idxs.append(sl)
+            for mi, contrast in enumerate(self.contrast_list):
+                vol = self._packed["vols"].get((subj, contrast))
+                if vol is not None:
+                    # contiguous depth block -> [bc, H, W] -> [H, W, bc]
+                    inputs[mi, j] = np.transpose(
+                        vol[sl - b:sl + b + 1], (1, 2, 0))
+                    mask[j, mi] = 1.0
+            tgt = self._packed["tgts"].get(subj)
+            if tgt is not None:
+                targets[j, :, :, 0] = tgt[sl]
+        if self.dropoff:
+            for j in range(Bn):
+                if mask[j].sum() > 1 and self.rng.random() > 0.8:
+                    drop = self.rng.choice(np.where(mask[j] == 1)[0])
+                    inputs[drop, j] = 0.0
+                    mask[j, drop] = 0.0
+        if self.skull_strip and self.brain_mask is not None:
+            for j, sl in enumerate(slice_idxs):
+                bm = self.brain_mask[:, :, sl - b:sl + b + 1]
+                inputs[:, j] *= bm[None]
+                targets[j, :, :, 0] *= self.brain_mask[:, :, sl]
+        mask_img = (inputs[0, :, :, :, 0] == 0).astype(np.float32)
+        return {"inputs": inputs, "targets": targets, "mask": mask,
+                "mask_img": mask_img, "subj_id": subj_ids,
+                "slice_idx": np.array(slice_idxs)}
 
     def __len__(self):
         return len(self.subj_list)

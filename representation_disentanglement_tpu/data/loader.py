@@ -61,6 +61,20 @@ class BatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        # vectorized batch-gather fast path (SliceDataset.get_batch)
+        fast = getattr(self.dataset, "get_batch", None)
+        if fast is not None:
+            n = len(order)
+            stop = (n // self.batch_size * self.batch_size
+                    if self.drop_last else n)
+            for lo in range(0, stop, self.batch_size):
+                batch = fast(order[lo:lo + self.batch_size].tolist())
+                subj = batch.pop("subj_id")
+                if self.to_device:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                batch["subj_id"] = subj
+                yield batch
+            return
         buf = []
         for idx in order:
             s = self.dataset[int(idx)]
