@@ -19,8 +19,27 @@ import time
 from typing import Dict, List, Optional
 
 
-def enable_compile_cache(path: str = "/tmp/rdt_jax_cache") -> None:
+def cache_dir_for_host(base: str = "/tmp/rdt_jax_cache") -> str:
+    """Per-CPU-type cache dir: AOT results are machine-feature specific and
+    this environment migrates between hosts (reusing another machine's
+    cache risks SIGILL)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.md5(line.encode()).hexdigest()[:8]
+                    break
+            else:
+                tag = "generic"
+    except OSError:
+        tag = "generic"
+    return f"{base}_{tag}"
+
+
+def enable_compile_cache(path: str = None) -> None:
     import jax
+    path = path or cache_dir_for_host()
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -19,7 +19,14 @@ import jax  # noqa: E402
 # conftest ran, so also switch the platform through jax.config (effective
 # as long as no backend is initialized yet)
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
+sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, sys_path_root)
+from representation_disentanglement_tpu.utils.profiling import (  # noqa: E402
+    cache_dir_for_host)
+
+jax.config.update("jax_compilation_cache_dir", cache_dir_for_host())
 # parity tests compare against torch f32: force full-precision matmuls
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

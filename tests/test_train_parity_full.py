@@ -46,7 +46,9 @@ def _ref_train_losses(ref, sd_out, xs_np, mask_np, mask_img_np):
         others={"mod_enc_s": False, "ana_dec_act": "softmax", "old": False,
                 "softmax_remove_mask": True})
     model.sample = lambda mean, log_var: mean      # pin z to the mean
-    sd_out.update(model.state_dict())
+    # snapshot BEFORE training: state_dict() returns live tensor references
+    sd_out.update({k: v.detach().clone()
+                   for k, v in model.state_dict().items()})
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-5,
                            amsgrad=True)
     losses = []
