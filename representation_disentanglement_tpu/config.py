@@ -124,6 +124,11 @@ class Config:
                                              # (TPU only; auto-falls back on
                                              # CPU / oversize slabs / vmap)
     prefetch_depth: int = 2
+    device_data_cache: bool = True           # upload packed volumes to HBM
+                                             # once; gather slice-blocks on
+                                             # device (auto-fallback to host
+                                             # loading when it doesn't fit)
+    device_cache_budget_gb: float = 10.0
     log_every: int = 10
     eval_max_iters: int = 501                # (main_missing.py:561-562)
 

@@ -78,6 +78,34 @@ def make_loaders(cfg: Config):
         contrast_list=cfg.contrast_list, aug=False, dropoff=cfg.dropoff,
         skull_strip=cfg.skull_strip, image_size=cfg.input_size,
         seed=cfg.seed)
+
+    # HBM-resident volume cache: a batch then costs only int32 indices over
+    # the host<->TPU link instead of ~27MB of slice blocks
+    if cfg.device_data_cache and not cfg.skull_strip:
+        from representation_disentanglement_tpu.data.device_store import (
+            DeviceBatchLoader, build_device_cache)
+        budget = int(cfg.device_cache_budget_gb * 2**30)
+        loaders = []
+        ok = True
+        for ds, shuffle, drop_last, dropoff in (
+                (data.train_dataset, cfg.shuffle, True, cfg.dropoff),
+                (data.val_dataset, False, False, cfg.dropoff),
+                (data.test_dataset, False, False, False)):
+            cache = build_device_cache(
+                cfg.dataset_name, data.store, ds.subj_list,
+                cfg.contrast_list, cfg.block_size, budget_bytes=budget,
+                clamp_max=89 if cfg.dataset_name == "Tau" else 155)
+            if cache is None:
+                ok = False
+                break
+            loaders.append(DeviceBatchLoader(
+                cache, ds.subj_list, ds.idx_list, cfg.batch_size,
+                shuffle=shuffle, drop_last=drop_last, dropoff=dropoff,
+                seed=cfg.seed))
+        if ok:
+            print("[data] device-resident volume cache active")
+            return tuple(loaders)
+
     train = BatchLoader(data.train_dataset, cfg.batch_size,
                         shuffle=cfg.shuffle, drop_last=True, seed=cfg.seed,
                         prefetch=cfg.prefetch_depth)
