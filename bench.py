@@ -65,7 +65,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     # warmup / compile
     state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                           jnp.float32(cfg.lr), first_of_epoch=False)
-    jax.block_until_ready(m["all"])
+    jax.block_until_ready(m)
     # best-of-3 windows: the shared TPU tunnel adds run-to-run noise
     best_dt = float("inf")
     for _ in range(3):
@@ -73,7 +73,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         for _ in range(steps):
             state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                                   jnp.float32(cfg.lr), first_of_epoch=False)
-        jax.block_until_ready(m["all"])
+        jax.block_until_ready(m)
         best_dt = min(best_dt, time.perf_counter() - t0)
     train_sps = steps * effective_batch / best_dt
 
@@ -95,7 +95,10 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         jax.block_until_ready(o)
         best_dt = min(best_dt, time.perf_counter() - t0)
     infer_sps = steps * batch_size / best_dt
-    return train_sps, infer_sps, float(m["all"]) / n_micro
+    from representation_disentanglement_tpu.training.train import \
+        metrics_to_dict
+    final_loss = metrics_to_dict(m)["all"] / n_micro
+    return train_sps, infer_sps, final_loss
 
 
 def bench_reference(height, width, n_contrasts, batch_size, steps=2):

@@ -131,10 +131,13 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
     monitor_best = 100.0
     timer = StepTimer(warmup=1)
 
+    from representation_disentanglement_tpu.training.train import (
+        metrics_to_dict)
     for epoch in range(start_epoch + 1, cfg.epochs):
         t0 = time.time()
-        loss_sums = {k: 0.0 for k in LOSS_KEYS}
-        n_iters = 0
+        timer.reset_interval()
+        metric_sum = None          # device-side accumulator; ONE fetch at
+        n_iters = 0                # epoch end + one per log interval
         micro = []
         first = True
         for batch in train_loader:
@@ -156,18 +159,24 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
             first = False
             n_iters += n_micro
             timer.step(cfg.effective_batch)
-            if not np.isfinite(float(metrics["all"])):
-                raise FloatingPointError(
-                    f"non-finite loss at epoch {epoch}: "
-                    f"{ {k: float(v) for k, v in metrics.items()} }")
-            for k in LOSS_KEYS:
-                loss_sums[k] += float(metrics[k])
+            metric_sum = metrics if metric_sum is None \
+                else metric_sum + metrics
             if cfg.log_every and (n_iters // n_micro) % cfg.log_every == 0:
+                m = metrics_to_dict(metrics)        # one transfer
+                if not np.isfinite(m["all"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch}: {m}")
                 print(f"Epoch[{epoch:3d}], iter[{n_iters:3d}]: " +
-                      ", ".join(f"{k}=[{float(metrics[k]) / n_micro:.4f}]"
+                      ", ".join(f"{k}=[{m[k] / n_micro:.4f}]"
                                 for k in ("all", "recon_x", "recon_x_mix",
                                           "sim_s", "sim_z", "latent_z")))
-        stat_train = {k: v / max(n_iters, 1) for k, v in loss_sums.items()}
+        sums = metrics_to_dict(metric_sum) if metric_sum is not None else {
+            k: 0.0 for k in LOSS_KEYS}
+        if not np.isfinite(sums.get("all", 0.0)):
+            raise FloatingPointError(
+                f"non-finite loss during epoch {epoch}: {sums}")
+        stat_train = {k: sums.get(k, 0.0) / max(n_iters, 1)
+                      for k in LOSS_KEYS}
         save_result_stat(stat_train, cfg.ckpt_path, info=f"epoch[{epoch:2d}]")
         print(f"epoch {epoch} train ({time.time() - t0:.1f}s, "
               f"{timer.throughput:.1f} slices/s):", stat_train)

@@ -220,11 +220,23 @@ def make_train_step(model, cfg, txs, donate: bool = True):
             params = jax.tree.map(jnp.add, params, d_updates)
 
         new_state = TrainState(params, batch_stats, opt_state, opt_d_state)
-        metrics = dict(loss_sums)
-        metrics["grad_norm"] = grad_norm
+        # ONE stacked vector instead of a dict of scalars: fetching a dict
+        # costs one host<->device roundtrip per leaf (the reference syncs 11
+        # scalars per iteration, main_missing.py:253-263; over the TPU
+        # tunnel that dominated real step time)
+        metrics = jnp.stack([loss_sums[k] for k in LOSS_KEYS] + [grad_norm])
         return new_state, metrics
 
     return train_step, n_micro
+
+
+METRIC_KEYS = LOSS_KEYS + ("grad_norm",)
+
+
+def metrics_to_dict(vec) -> Dict[str, float]:
+    import numpy as _np
+    vals = _np.asarray(vec)
+    return {k: float(v) for k, v in zip(METRIC_KEYS, vals)}
 
 
 def draw_pairs(rng: np.random.Generator, modality_num: int, n: int):

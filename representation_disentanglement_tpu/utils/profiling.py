@@ -67,6 +67,12 @@ class StepTimer:
         self._last: Optional[float] = None
         self._count = 0
 
+    def reset_interval(self) -> None:
+        """Call at epoch start so cross-epoch gaps (validation, ckpt IO)
+        don't pollute the step-interval statistics."""
+        self._last = None
+        self._count = 0
+
     def step(self, n_samples: int) -> Optional[float]:
         now = time.perf_counter()
         dt = None

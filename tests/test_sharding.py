@@ -48,7 +48,10 @@ def test_dp_grads_match_single_device(rng):
     s2, m2 = step(state_sh, stacked_sh, rngs, sim, adv, jnp.float32(2e-4),
                   first_of_epoch=False)
 
-    np.testing.assert_allclose(float(m1["all"]), float(m2["all"]), rtol=1e-5)
+    from representation_disentanglement_tpu.training.train import \
+        metrics_to_dict
+    np.testing.assert_allclose(metrics_to_dict(m1)["all"],
+                               metrics_to_dict(m2)["all"], rtol=1e-5)
     # post-Adam params: the first Adam step is ~lr * sign(g), so f32
     # reduction-order noise on near-zero grads can flip an element by up to
     # 2*lr = 4e-4; anything beyond that indicates a real sharding bug

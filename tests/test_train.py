@@ -56,7 +56,9 @@ def test_train_step_decreases_loss(rng):
         adv = jnp.asarray(draw_pairs(pr, cfg.modality_num, n_micro))
         state, m = step(state, stacked, rngs, sim, adv, jnp.float32(2e-4),
                         first_of_epoch=(i == 0))
-        losses.append(float(m["all"]) / n_micro)
+        from representation_disentanglement_tpu.training.train import \
+            metrics_to_dict
+        losses.append(metrics_to_dict(m)["all"] / n_micro)
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
 

@@ -137,7 +137,9 @@ def test_full_training_trajectory_matches(rng, ref_model_module):
             rngs = jax.random.split(jax.random.PRNGKey(i), 1)
             state, m = step_fn(state, stacked, rngs, pair, pair,
                                jnp.float32(LR), first_of_epoch=False)
-            my_losses.append(float(m["all"]))
+            from representation_disentanglement_tpu.training.train import \
+                metrics_to_dict
+            my_losses.append(metrics_to_dict(m)["all"])
     finally:
         type(model).sample_z = orig_sample
 
