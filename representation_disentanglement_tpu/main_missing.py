@@ -120,8 +120,76 @@ def _stack_micro(micro):
     return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *micro)
 
 
+def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
+                        start_epoch: int,
+                        scheduler: ReduceLROnPlateau) -> TrainState:
+    """Whole-epoch-on-device loop (training/epoch.py): one upload, one
+    dispatch, one metrics fetch per epoch."""
+    from representation_disentanglement_tpu.training.epoch import (
+        epoch_indices, make_train_epoch)
+    from representation_disentanglement_tpu.training.train import (
+        METRIC_KEYS)
+    train_loader, val_loader, _ = loaders
+    train_epoch, n_micro = make_train_epoch(model, cfg, txs,
+                                            train_loader.cache)
+    eval_steps = make_eval_step(model, cfg)
+    pair_rng = np.random.default_rng(cfg.seed)
+    z_key = jax.random.PRNGKey(cfg.seed)
+    monitor_best = 100.0
+    for epoch in range(start_epoch + 1, cfg.epochs):
+        t0 = time.time()
+        plan, z_key = epoch_indices(train_loader, n_micro,
+                                    cfg.modality_num, pair_rng, z_key)
+        if plan is None:
+            raise ValueError("not enough samples for one optimizer step")
+        state, metrics = train_epoch(state, *plan,
+                                     jnp.float32(scheduler.lr))
+        metrics = np.asarray(metrics)            # ONE fetch for the epoch
+        n_steps = metrics.shape[0]
+        if not np.isfinite(metrics).all():
+            bad = np.where(~np.isfinite(metrics))[0][:1]
+            raise FloatingPointError(
+                f"non-finite metrics at epoch {epoch}, step {bad}")
+        sums = metrics.sum(0)
+        stat_train = {k: float(v) / (n_steps * n_micro)
+                      for k, v in zip(METRIC_KEYS, sums)}
+        stat_train.pop("grad_norm", None)
+        dt = time.time() - t0
+        sps = n_steps * cfg.effective_batch / dt
+        save_result_stat(stat_train, cfg.ckpt_path, info=f"epoch[{epoch:2d}]")
+        print(f"epoch {epoch} train ({dt:.1f}s, {sps:.1f} slices/s, "
+              f"{n_steps} steps on-device):", stat_train)
+
+        stat = evaluate(model, state.params, state.batch_stats, cfg,
+                        val_loader, phase="val", set_name="val",
+                        save_res=False, eval_steps=eval_steps)
+        if cfg.lambda_recon_y == 0 or cfg.lambda_recon_y_fused == 0:
+            monitor = stat["recon_x_mix"]
+        else:
+            monitor = stat["recon_y_fused"]
+        scheduler.step(monitor)
+        save_result_stat(stat, cfg.ckpt_path, info="val")
+        print(f"epoch {epoch} val:", stat)
+        is_best = monitor <= monitor_best
+        monitor_best = min(monitor, monitor_best)
+        save_checkpoint(
+            {"epoch": epoch, "monitor_metric": monitor, "stat": stat,
+             "params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state,
+             "opt_d_state": state.opt_d_state,
+             "scheduler": scheduler.state_dict()},
+            is_best, cfg.ckpt_path)
+    return state
+
+
 def train(cfg: Config, model, state: TrainState, txs, loaders,
           start_epoch: int, scheduler: ReduceLROnPlateau) -> TrainState:
+    from representation_disentanglement_tpu.data.device_store import (
+        DeviceBatchLoader)
+    if isinstance(loaders[0], DeviceBatchLoader) and not cfg.is_discrim_s \
+            and not (cfg.fix_pretrain and cfg.continue_train):
+        return train_device_epochs(cfg, model, state, txs, loaders,
+                                   start_epoch, scheduler)
     train_loader, val_loader, _ = loaders
     from representation_disentanglement_tpu.utils.profiling import StepTimer
     train_step, n_micro = make_train_step(model, cfg, txs)

@@ -1,0 +1,153 @@
+"""Whole-epoch-on-device training: lax.scan over optimizer steps.
+
+Measured on this environment: the 16-sample effective step executes in
+~7ms on-device, but every small host->device transfer through the TPU
+tunnel costs ~0.1s, so a per-step Python loop (indices, RNG keys, pair
+draws, lr scalar) runs ~80x slower than the hardware.  The TPU-native
+shape of the loop:
+
+  - the packed volume cache already lives in HBM (data/device_store.py);
+  - at epoch start the host uploads ONE small buffer of shuffled indices,
+    pair draws and dropoff masks for every step of the epoch;
+  - ``lax.scan`` runs all steps on device: slice-block gather ->
+    microbatch accumulation -> clipped Adam update, with the reference's
+    "decode y only at iter 0" handled by ``lax.cond``;
+  - the host gets back the final state + per-step metric vectors in a
+    single fetch.
+
+Per epoch: one upload, one dispatch, one download.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from representation_disentanglement_tpu.data.device_store import (
+    DeviceBatchLoader, DeviceVolumeCache, gather_blocks)
+from representation_disentanglement_tpu.training.optim import (
+    clip_global_norm)
+from representation_disentanglement_tpu.training.train import (
+    LOSS_KEYS, TrainState, assemble_losses, draw_pairs)
+
+
+def make_train_epoch(model, cfg, txs, cache: DeviceVolumeCache,
+                     donate: bool = True):
+    tx, _ = txs
+    n_micro = max(cfg.effective_batch // cfg.batch_size, 1)
+    B = cfg.batch_size
+    needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
+    bdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch_stats, mb, rng, sim_pair, adv_pair,
+                compute_y):
+        mb = dict(mb, inputs=mb["inputs"].astype(bdt))
+        out, muts = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mb["inputs"], mb["mask"], mb["mask_img"], rng, train=True,
+            compute_y=compute_y, latent_cycle=cfg.lambda_latent_z > 0,
+            adv_pair=adv_pair if cfg.is_discrim_s else None,
+            mutable=["batch_stats"])
+        l = assemble_losses(cfg, mb, out, sim_pair, adv_pair,
+                            out.get("d_logits"))
+        return l["all"], (l, muts["batch_stats"])
+
+    def one_step(state: TrainState, xs, compute_y_first):
+        rows, slices, drop, rng, sim_pairs, adv_pairs, lr = xs
+        params, batch_stats = state.params, state.batch_stats
+        g_acc = jax.tree.map(jnp.zeros_like, params)
+        loss_sums = {k: jnp.float32(0.0) for k in LOSS_KEYS}
+        grad_norm = jnp.float32(0.0)
+        rngs = jax.random.split(rng, n_micro)
+        for a in range(n_micro):
+            mb = gather_blocks(cache.vols, cache.tgts, cache.presence,
+                               rows[a], slices[a], drop[a],
+                               block_size=cache.block_size)
+
+            def run(compute_y, params=params, batch_stats=batch_stats,
+                    mb=mb, a=a):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch_stats, mb, rngs[a], sim_pairs[a],
+                    adv_pairs[a], compute_y)
+
+            if needs_y:
+                (loss, (l, batch_stats)), grads = run(True)
+            elif a == 0:
+                # reference decodes y only at iter 0 (main_missing.py:182)
+                (loss, (l, batch_stats)), grads = jax.lax.cond(
+                    compute_y_first, lambda: run(True), lambda: run(False))
+            else:
+                (loss, (l, batch_stats)), grads = run(False)
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            g_acc, grad_norm = clip_global_norm(g_acc, cfg.grad_clip_norm)
+            loss_sums = {k: loss_sums[k] + l[k] for k in LOSS_KEYS}
+
+        updates, opt_state = tx.update(g_acc, state.opt_state, params,
+                                       learning_rate=lr)
+        params = jax.tree.map(jnp.add, params, updates)
+        new_state = TrainState(params, batch_stats, opt_state,
+                               state.opt_d_state)
+        metrics = jnp.stack([loss_sums[k] for k in LOSS_KEYS] + [grad_norm])
+        return new_state, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_epoch(state: TrainState, rows, slices, drop, rng_keys,
+                    sim_pairs, adv_pairs, lr):
+        """rows/slices: int32 [steps, A, B]; drop: [steps, A, B, M];
+        rng_keys: [steps, 2]; *_pairs: [steps, A, 2]; lr: f32 scalar.
+        Returns (state, metrics [steps, len(LOSS_KEYS)+1])."""
+        n_steps = rows.shape[0]
+
+        def body(state, i):
+            xs = (rows[i], slices[i], drop[i], rng_keys[i], sim_pairs[i],
+                  adv_pairs[i], lr)
+            return one_step(state, xs, compute_y_first=(i == 0))
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    return train_epoch, n_micro
+
+
+def epoch_indices(loader: DeviceBatchLoader, n_micro: int, modality_num: int,
+                  pair_rng: np.random.Generator, z_key):
+    """Host-side epoch plan: shuffled (row, slice) indices grouped into
+    [steps, A, B], dropoff draws, per-step RNG keys and pair choices.
+    One device_put for the lot."""
+    cache = loader.cache
+    order = np.arange(len(loader.rows))
+    if loader.shuffle:
+        loader.rng.shuffle(order)
+    B = loader.batch_size
+    per_step = B * n_micro
+    n_steps = len(order) // per_step
+    if n_steps == 0:
+        return None, z_key
+    sel = order[:n_steps * per_step].reshape(n_steps, n_micro, B)
+    rows = loader.rows[sel]
+    slices = loader.slices[sel]
+    M = cache.presence.shape[1]
+    drop = np.ones((n_steps, n_micro, B, M), np.float32)
+    if loader.dropoff:
+        presence_np = np.asarray(cache.presence)
+        flat_rows = rows.reshape(-1)
+        flat_drop = drop.reshape(-1, M)
+        for j, r in enumerate(flat_rows):
+            pres = np.where(presence_np[r] > 0)[0]
+            if len(pres) > 1 and loader.rng.random() > 0.8:
+                flat_drop[j, loader.rng.choice(pres)] = 0.0
+    z_key, sub = jax.random.split(z_key)
+    rng_keys = jax.random.split(sub, n_steps)
+    sim = np.stack([draw_pairs(pair_rng, modality_num, n_micro)
+                    for _ in range(n_steps)])
+    adv = np.stack([draw_pairs(pair_rng, modality_num, n_micro)
+                    for _ in range(n_steps)])
+    plan = (jax.device_put(rows.astype(np.int32)),
+            jax.device_put(slices.astype(np.int32)),
+            jax.device_put(drop), rng_keys,
+            jax.device_put(sim.astype(np.int32)),
+            jax.device_put(adv.astype(np.int32)))
+    return plan, z_key

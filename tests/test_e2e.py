@@ -1,0 +1,81 @@
+"""CLI end-to-end regression: train -> artifacts -> resume -> test dump."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+h5py = pytest.importorskip("h5py")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    make_synthetic_dataset(str(d / "data"), "BraTS", ("T1", "T2"),
+                           "z-score", n_subj=6, shape=(32, 64, 16),
+                           slice_range=(4, 12))
+    return d
+
+
+def _cfg(workdir, **kw):
+    d = dict(phase="train", load_yaml=True, epochs=1,
+             dataset_name="BraTS", contrast_list=["T1", "T2"],
+             norm_type="z-score", block_size=3,
+             data_path=str(workdir / "data") + "/", batch_size=4,
+             num_fold=5, fold=0, shuffle=True, lr=2e-4,
+             model_name="MultimodalModel", p=1, s_num_ch=4, z_size=16,
+             lambda_recon_y=0.0, lambda_recon_y_fused=0.0,
+             lambda_recon_x=1.0, lambda_recon_x_mix=2.0,
+             lambda_sim_s=10.0, lambda_sim_z=2.0, lambda_kl=0.0,
+             lambda_latent_z=0.1, lambda_adv_s=0.0,
+             s_compact_method="max", s_sim_method="cosine",
+             z_sim_method="cosine", is_cond=True, is_distri_z=False,
+             shared_ana_enc=True, shared_mod_enc=True, shared_inp_dec=False,
+             others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                     "old": False, "softmax_remove_mask": True},
+             out_num_ch=1, input_height=32, input_width=64, dropoff=False,
+             skull_strip=False, fuse_method="mean", target_model_name="U",
+             continue_train=False, fix_pretrain=False,
+             ckpt_name="model_best.ckpt", ckpt_timelabel="e2e",
+             effective_batch=4, log_every=0)
+    d.update(kw)
+    p = workdir / "config.yaml"
+    p.write_text(yaml.dump(d))
+    return str(p)
+
+
+@pytest.mark.slow
+def test_cli_train_then_test(workdir):
+    from representation_disentanglement_tpu.main_missing import main
+    cfg_path = _cfg(workdir, phase="train", ckpt_timelabel="run_e2e",
+                    continue_train=True)  # timelabel honored for resume-less
+    # continue_train=True with no ckpt would fail; use a fresh train dir:
+    cfg_path = _cfg(workdir, phase="train")
+    main([cfg_path, "--ckpt-root", str(workdir / "ckpt")])
+    # find the timestamped run dir
+    runs = os.listdir(workdir / "ckpt" / "BraTS" / "MultimodalModel")
+    assert runs
+    run = runs[0]
+    run_dir = workdir / "ckpt" / "BraTS" / "MultimodalModel" / run
+    assert (run_dir / "stat.csv").exists()
+    assert (run_dir / "model_best.ckpt").exists()
+    assert (run_dir / "config.yaml").exists()
+
+    cfg_path = _cfg(workdir, phase="test", ckpt_timelabel=run)
+    stat = main([cfg_path, "--ckpt-root", str(workdir / "ckpt")])
+    assert np.isfinite(stat["recon_x_mix"])
+    res = run_dir / "result_test" / "results_all.h5"
+    assert res.exists()
+    with h5py.File(res) as f:
+        # reference dump contract (main_missing.py:592-607)
+        for k in ("subj_id", "slice_idx", "inputs", "targets", "mask",
+                  "y_fake_fused", "y_fake_list", "xi_fake_mix",
+                  "xi_fake_list", "s_list", "z_list"):
+            assert k in f, k
+        n = f["inputs"].shape[0]
+        assert f["inputs"].shape == (n, 14, 32, 64)     # [N, M*bc, H, W]
+        assert f["s_list"].shape == (n, 2, 4, 32, 64)
+        assert f["z_list"].shape == (n, 2, 16)
