@@ -35,7 +35,8 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
-               steps, dtype="bfloat16", use_pallas=False):
+               steps, dtype="bfloat16", use_pallas=False,
+               cond_mode="sum_experts"):
     import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu.utils.profiling import (
@@ -49,6 +50,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     cfg = _make_cfg(height, width, contrasts, batch_size, effective_batch)
     cfg.compute_dtype = dtype
     cfg.use_pallas = use_pallas
+    cfg.cond_mode = cond_mode
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(cfg, rng)
@@ -62,10 +64,14 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     pairs = lambda: jnp.asarray(draw_pairs(pair_rng, cfg.modality_num,
                                            n_micro))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: through the axon tunnel block_until_ready
+    # returns before execution completes — a VALUE FETCH is the only honest
+    # synchronization (measured 70x discrepancy), so every timing window
+    # ends with np.asarray of the result.
+    sync = lambda a: np.asarray(a)
     state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                           jnp.float32(cfg.lr), first_of_epoch=False)
-    jax.block_until_ready(m)
+    sync(m)
     # best-of-3 windows: the shared TPU tunnel adds run-to-run noise
     best_dt = float("inf")
     for _ in range(3):
@@ -73,7 +79,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         for _ in range(steps):
             state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                                   jnp.float32(cfg.lr), first_of_epoch=False)
-        jax.block_until_ready(m)
+        sync(m)
         best_dt = min(best_dt, time.perf_counter() - t0)
     train_sps = steps * effective_batch / best_dt
 
@@ -86,13 +92,13 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         return out["x_fake_grid"], out["y_fake_fused"]
 
     o = eval_fwd(state.params, state.batch_stats, batch)
-    jax.block_until_ready(o)
+    sync(o[1])
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             o = eval_fwd(state.params, state.batch_stats, batch)
-        jax.block_until_ready(o)
+        sync(o[1])
         best_dt = min(best_dt, time.perf_counter() - t0)
     infer_sps = steps * batch_size / best_dt
     from representation_disentanglement_tpu.training.train import \
@@ -166,6 +172,8 @@ def main():
                     help="fused Pallas SPADE interior (+22% measured)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--cond-mode", default="sum_experts",
+                    choices=["grouped", "sum_experts"])
     args = ap.parse_args()
 
     if args.smoke:
@@ -179,7 +187,7 @@ def main():
 
     train_sps, infer_sps, loss = bench_ours(
         h, w, contrasts, bs, eb, steps, dtype=args.dtype,
-        use_pallas=args.pallas)
+        use_pallas=args.pallas, cond_mode=args.cond_mode)
 
     baseline = None
     if not args.no_baseline:

@@ -120,6 +120,10 @@ class Config:
     seed: int = 10                           # (main_missing.py:18)
     fix_activation_bug: bool = False         # quirk Q1: False = parity with
                                              # the reference's overwritten acts
+    cond_mode: str = "sum_experts"           # CondConv execution: 'grouped'
+                                             # (min FLOPs) or 'sum_experts'
+                                             # (E dense convs + routed mix;
+                                             # faster on TPU, same math)
     use_pallas: bool = True                  # fused Pallas SPADE interior
                                              # (TPU only; auto-falls back on
                                              # CPU / oversize slabs / vmap)

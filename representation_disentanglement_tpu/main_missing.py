@@ -53,6 +53,9 @@ def build_model(cfg: Config) -> MultimodalModel:
     # shared-decoder configuration of the same architecture (SURVEY §2.6)
     is_cond = cfg.is_cond and not cfg.others.get("old", False)
     shared_inp_dec = cfg.shared_inp_dec or cfg.others.get("old", False)
+    from representation_disentanglement_tpu.models.layers import (
+        set_cond_mode)
+    set_cond_mode(getattr(cfg, "cond_mode", "grouped") or "grouped")
     return MultimodalModel(
         modality_num=cfg.modality_num, in_num_ch=cfg.block_ch,
         out_num_ch=cfg.out_num_ch, s_num_ch=cfg.s_num_ch, z_size=cfg.z_size,

@@ -129,3 +129,18 @@ def test_plain_conv_matches_torch(rng):
                  stride=2, padding=1)
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                want, atol=2e-5, rtol=1e-4)
+
+
+def test_condconv_sum_experts_matches_grouped(rng):
+    """sum-of-dense-expert-convs == grouped mixed-kernel conv (same math)."""
+    import flax.linen as nn_  # noqa
+    from representation_disentanglement_tpu.models.layers import MaybeCondConv
+    x = jnp.asarray(rng.normal(size=(3, 2, 12, 16, 5)).astype(np.float32))
+    types = jnp.arange(1, 4, dtype=jnp.float32)
+    m_g = MaybeCondConv(7, 3, 2, 1, is_cond=True, cond_mode="grouped")
+    m_s = MaybeCondConv(7, 3, 2, 1, is_cond=True, cond_mode="sum_experts")
+    v = m_g.init({"params": jax.random.PRNGKey(0)}, x, types)
+    y_g = m_g.apply(v, x, types)
+    y_s = m_s.apply(v, x, types)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_g), atol=2e-5,
+                               rtol=1e-4)
