@@ -36,7 +36,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16", use_pallas=False,
-               cond_mode="sum_experts"):
+               cond_mode="sum_experts", notshared_impl="vmap"):
     import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu.utils.profiling import (
@@ -51,6 +51,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     cfg.compute_dtype = dtype
     cfg.use_pallas = use_pallas
     cfg.cond_mode = cond_mode
+    cfg.notshared_impl = notshared_impl
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(cfg, rng)
@@ -174,6 +175,8 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--cond-mode", default="sum_experts",
                     choices=["grouped", "sum_experts"])
+    ap.add_argument("--notshared", default="vmap",
+                    choices=["vmap", "loop"])
     args = ap.parse_args()
 
     if args.smoke:
@@ -187,7 +190,8 @@ def main():
 
     train_sps, infer_sps, loss = bench_ours(
         h, w, contrasts, bs, eb, steps, dtype=args.dtype,
-        use_pallas=args.pallas, cond_mode=args.cond_mode)
+        use_pallas=args.pallas, cond_mode=args.cond_mode,
+        notshared_impl=args.notshared)
 
     baseline = None
     if not args.no_baseline:

@@ -120,6 +120,8 @@ class Config:
     seed: int = 10                           # (main_missing.py:18)
     fix_activation_bug: bool = False         # quirk Q1: False = parity with
                                              # the reference's overwritten acts
+    notshared_impl: str = "vmap"             # per-modality decoder halves:
+                                             # 'vmap' or 'loop' (dense convs)
     cond_mode: str = "sum_experts"           # CondConv execution: 'grouped'
                                              # (min FLOPs) or 'sum_experts'
                                              # (E dense convs + routed mix;

@@ -70,7 +70,8 @@ def build_model(cfg: Config) -> MultimodalModel:
         ana_dec_act=cfg.others.get("ana_dec_act", "softmax"),
         softmax_remove_mask=cfg.others.get("softmax_remove_mask", False),
         fix_act_bug=cfg.fix_activation_bug,
-        use_pallas=getattr(cfg, "use_pallas", False))
+        use_pallas=getattr(cfg, "use_pallas", False),
+        notshared_impl=getattr(cfg, "notshared_impl", "vmap"))
 
 
 def make_loaders(cfg: Config):

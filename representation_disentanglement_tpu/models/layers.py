@@ -173,16 +173,18 @@ class MaybeCondConv(nn.Module):
                 if mode == "sum_experts":
                     # conv is linear in the kernel: conv(x, sum_e r_e W_e)
                     # == sum_e r_e conv(x, W_e); run E dense convs on the
-                    # flattened batch and mix outputs per group
+                    # flattened batch and accumulate the routed mix
+                    # incrementally (stacking all E outputs at full res
+                    # overflows HBM)
                     xf = x.reshape((-1,) + x.shape[2:])
-                    ys = jnp.stack(
-                        [conv2d(xf, experts[e], None, self.stride,
-                                self.padding)
-                         for e in range(self.num_experts)])      # [E,G*B,..]
-                    ys = ys.reshape((self.num_experts, g, -1)
-                                    + ys.shape[2:])              # [E,G,B,..]
-                    y = jnp.einsum("ge,egb...->gb...",
-                                   route.astype(ys.dtype), ys)
+                    y = None
+                    for e in range(self.num_experts):
+                        ye = conv2d(xf, experts[e], None, self.stride,
+                                    self.padding)
+                        ye = ye.reshape((g, -1) + ye.shape[1:])
+                        contrib = route[:, e, None, None, None, None].astype(
+                            ye.dtype) * ye
+                        y = contrib if y is None else y + contrib
                     if bias is not None:
                         y = y + bias.astype(y.dtype)
                 else:

@@ -86,6 +86,11 @@ class MultimodalModel(nn.Module):
     fix_act_bug: bool = False
     use_pallas: bool = False         # fused Pallas SPADE interior (TPU only;
                                      # auto-fallback on CPU / oversize slabs)
+    notshared_impl: str = "vmap"     # per-modality decoder halves: 'vmap'
+                                     # (stacked params, one feature-grouped
+                                     # conv) or 'loop' (M sequential DENSE
+                                     # convs — avoids grouped-conv layout
+                                     # copies on TPU)
     remat: bool = True               # segmented rematerialization: recompute
                                      # each stage's activations in backward
                                      # instead of storing them (HBM >> FLOPs
@@ -133,19 +138,28 @@ class MultimodalModel(nn.Module):
                 output_activation=self.input_output_act, **dec_kw)
         else:
             self.input_decoder_shared = SPADEShared(**dec_kw)
-            # one not-shared half per modality, vmapped over the params axis;
-            # types broadcast (the j-axis types are identical for every i).
-            # NOTE: the fused Pallas SPADE interior is disabled inside the
-            # vmapped half — pallas_call's vmap batching rule materializes
-            # the mapped axis into one kernel invocation and overflows VMEM.
-            self.input_decoder_notshared = nn.vmap(
-                SPADENotShared,
-                variable_axes={"params": 0},
-                split_rngs={"params": True}, in_axes=(0, 0, None),
-                out_axes=0, axis_size=M)(
-                in_num_ch=self.in_num_ch,
-                output_activation=self.input_output_act,
-                **dict(dec_kw, use_pallas=False))
+            ns_kw = dict(in_num_ch=self.in_num_ch,
+                         output_activation=self.input_output_act)
+            if self.notshared_impl == "loop":
+                # M separate halves, each running dense convs on the
+                # [M_j * B] batch — no feature-grouped lowering
+                self.input_decoder_notshared = [
+                    SPADENotShared(name=f"input_decoder_notshared_{i}",
+                                   **ns_kw, **dec_kw)
+                    for i in range(M)]
+            else:
+                # one not-shared half per modality, vmapped over the params
+                # axis; types broadcast (the j-axis types are identical for
+                # every i).  NOTE: the fused Pallas SPADE interior is
+                # disabled inside the vmapped half — pallas_call's vmap
+                # batching rule materializes the mapped axis into one kernel
+                # invocation and overflows VMEM.
+                self.input_decoder_notshared = nn.vmap(
+                    SPADENotShared,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True}, in_axes=(0, 0, None),
+                    out_axes=0, axis_size=M)(
+                    **ns_kw, **dict(dec_kw, use_pallas=False))
 
         fuse_num_ch = 3 if self.fuse_method == "mean-max-min" else 1
         del fuse_num_ch  # input width is inferred from the fused tensor
@@ -208,6 +222,10 @@ class MultimodalModel(nn.Module):
         mid = dec(self.input_decoder_shared, flat(s_pair), flat(z_pair),
                   flat(types_pair))
         mid = mid.reshape((M, M) + mid.shape[1:])            # [i, j, B, ...]
+        if self.notshared_impl == "loop":
+            outs = [dec(d, s_pair[i], mid[i], types)
+                    for i, d in enumerate(self.input_decoder_notshared)]
+            return jnp.stack(outs, axis=0)                   # [i, j, B, ...]
         out = dec(self.input_decoder_notshared, s_pair, mid, types)
         return out                                            # [i, j, B, ...]
 

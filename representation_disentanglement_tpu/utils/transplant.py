@@ -139,7 +139,8 @@ def transplant_multimodal(sd: Dict, modality_num: int, input_size=(160, 192),
                           is_cond: bool = True, shared_inp_dec: bool = False,
                           target_model_name: str = "U+SA",
                           mod_enc_first_ch: int = 16,
-                          discrim: bool = False):
+                          discrim: bool = False,
+                          notshared_impl: str = "vmap"):
     """Build (params, batch_stats) for models.MultimodalModel from the
     reference state_dict with the shipped sharing flags."""
     t = Transplant(sd)
@@ -183,7 +184,7 @@ def transplant_multimodal(sd: Dict, modality_num: int, input_size=(160, 192),
         for i in (1, 2, 3):
             t.spade_block(f"{shared}.sp{i}",
                           ("input_decoder_shared", f"sp{i}"), is_cond)
-        # per-modality halves -> stacked along axis 0
+        # per-modality halves: stacked (vmap impl) or separate (loop impl)
         subs = []
         for m in range(M):
             tm = Transplant(sd)
@@ -192,7 +193,11 @@ def transplant_multimodal(sd: Dict, modality_num: int, input_size=(160, 192),
                                is_cond)
             tm.conv(f"input_decoder_list.{m}.out", ("out",), is_cond)
             subs.append(tm.params)
-        t.params["input_decoder_notshared"] = _stack_subtrees(subs)
+        if notshared_impl == "loop":
+            for m, sub in enumerate(subs):
+                t.params[f"input_decoder_notshared_{m}"] = sub
+        else:
+            t.params["input_decoder_notshared"] = _stack_subtrees(subs)
 
     # ---- output decoder ----
     od = "output_decoder"
