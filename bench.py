@@ -36,7 +36,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16", use_pallas=False,
-               cond_mode="sum_experts", notshared_impl="vmap"):
+               cond_mode="grouped", notshared_impl="loop", remat=True):
     import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu.utils.profiling import (
@@ -52,6 +52,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     cfg.use_pallas = use_pallas
     cfg.cond_mode = cond_mode
     cfg.notshared_impl = notshared_impl
+    cfg.remat = remat
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(cfg, rng)
@@ -173,10 +174,15 @@ def main():
                     help="fused Pallas SPADE interior (+22% measured)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
-    ap.add_argument("--cond-mode", default="sum_experts",
+    ap.add_argument("--cond-mode", default="grouped",
                     choices=["grouped", "sum_experts"])
-    ap.add_argument("--notshared", default="vmap",
+    ap.add_argument("--notshared", default="loop",
                     choices=["vmap", "loop"])
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="segmented remat; OFF by default for the flagship "
+                         "bench (bf16 + loop decoders fit in HBM; +26% "
+                         "measured without it)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -191,7 +197,7 @@ def main():
     train_sps, infer_sps, loss = bench_ours(
         h, w, contrasts, bs, eb, steps, dtype=args.dtype,
         use_pallas=args.pallas, cond_mode=args.cond_mode,
-        notshared_impl=args.notshared)
+        notshared_impl=args.notshared, remat=args.remat)
 
     baseline = None
     if not args.no_baseline:

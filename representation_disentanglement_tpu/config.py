@@ -120,12 +120,16 @@ class Config:
     seed: int = 10                           # (main_missing.py:18)
     fix_activation_bug: bool = False         # quirk Q1: False = parity with
                                              # the reference's overwritten acts
-    notshared_impl: str = "vmap"             # per-modality decoder halves:
-                                             # 'vmap' or 'loop' (dense convs)
-    cond_mode: str = "sum_experts"           # CondConv execution: 'grouped'
-                                             # (min FLOPs) or 'sum_experts'
-                                             # (E dense convs + routed mix;
-                                             # faster on TPU, same math)
+    notshared_impl: str = "loop"             # per-modality decoder halves:
+                                             # 'loop' (M sequential dense
+                                             # convs; +8%% train, +17%% infer
+                                             # measured) or 'vmap' (stacked
+                                             # params, feature-grouped conv)
+    cond_mode: str = "grouped"               # CondConv execution: 'grouped'
+                                             # (min FLOPs; best measured) or
+                                             # 'sum_experts' (E dense convs +
+                                             # routed mix; OOMs at 160x192)
+    remat: bool = True                       # segmented rematerialization
     use_pallas: bool = True                  # fused Pallas SPADE interior
                                              # (TPU only; auto-falls back on
                                              # CPU / oversize slabs / vmap)

@@ -71,7 +71,8 @@ def build_model(cfg: Config) -> MultimodalModel:
         softmax_remove_mask=cfg.others.get("softmax_remove_mask", False),
         fix_act_bug=cfg.fix_activation_bug,
         use_pallas=getattr(cfg, "use_pallas", False),
-        notshared_impl=getattr(cfg, "notshared_impl", "vmap"))
+        notshared_impl=getattr(cfg, "notshared_impl", "vmap"),
+        remat=getattr(cfg, "remat", True))
 
 
 def make_loaders(cfg: Config):

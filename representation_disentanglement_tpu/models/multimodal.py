@@ -142,10 +142,12 @@ class MultimodalModel(nn.Module):
                          output_activation=self.input_output_act)
             if self.notshared_impl == "loop":
                 # M separate halves, each running dense convs on the
-                # [M_j * B] batch — no feature-grouped lowering
+                # [M_j * B] batch — no feature-grouped lowering.  Pallas
+                # interior stays off here: the full/half-res slabs exceed
+                # the kernel's VMEM scoping in this half.
                 self.input_decoder_notshared = [
                     SPADENotShared(name=f"input_decoder_notshared_{i}",
-                                   **ns_kw, **dec_kw)
+                                   **ns_kw, **dict(dec_kw, use_pallas=False))
                     for i in range(M)]
             else:
                 # one not-shared half per modality, vmapped over the params

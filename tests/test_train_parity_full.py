@@ -112,7 +112,8 @@ def test_full_training_trajectory_matches(rng, ref_model_module):
     state, txs = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                     batch)
     params, stats = transplant_multimodal(
-        sd, M, input_size=(H, W), is_cond=True, shared_inp_dec=False)
+        sd, M, input_size=(H, W), is_cond=True, shared_inp_dec=False,
+        notshared_impl=cfg.notshared_impl)
     from representation_disentanglement_tpu.training.checkpoint import (
         load_partial_params)
     merged, n_res, n_tot = load_partial_params(state.params, params)
