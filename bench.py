@@ -200,7 +200,9 @@ def main():
         notshared_impl=args.notshared, remat=args.remat)
 
     baseline = None
-    if not args.no_baseline:
+    # the torch reference hard-pins 160x192 (the 5*6*128 flatten,
+    # ref model.py:2396), so --smoke's tiny shapes can't baseline it
+    if not args.no_baseline and not args.smoke:
         key = f"{h}x{w}_M{len(contrasts)}_B{bs}"
         cache = {}
         if os.path.exists(BASELINE_CACHE):
