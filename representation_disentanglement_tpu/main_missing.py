@@ -67,6 +67,8 @@ def build_model(cfg: Config) -> MultimodalModel:
         target_output_act=cfg.target_output_act,
         target_model_name=cfg.target_model_name,
         mod_enc_s=cfg.others.get("mod_enc_s", True),
+        s_compact_method=cfg.s_compact_method,
+        s_sim_method=cfg.s_sim_method,
         ana_dec_act=cfg.others.get("ana_dec_act", "softmax"),
         softmax_remove_mask=cfg.others.get("softmax_remove_mask", False),
         fix_act_bug=cfg.fix_activation_bug,
@@ -126,10 +128,12 @@ def _stack_micro(micro):
 
 
 def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
-                        start_epoch: int,
-                        scheduler: ReduceLROnPlateau) -> TrainState:
+                        start_epoch: int, scheduler: ReduceLROnPlateau,
+                        mesh=None) -> TrainState:
     """Whole-epoch-on-device loop (training/epoch.py): one upload, one
-    dispatch, one metrics fetch per epoch."""
+    dispatch, one metrics fetch per epoch.  Under a data mesh the epoch plan
+    is batch-sharded and the volume cache replicated; XLA inserts the
+    gradient psum over ICI."""
     from representation_disentanglement_tpu.training.epoch import (
         epoch_indices, make_train_epoch)
     from representation_disentanglement_tpu.training.train import (
@@ -147,6 +151,10 @@ def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
                                     cfg.modality_num, pair_rng, z_key)
         if plan is None:
             raise ValueError("not enough samples for one optimizer step")
+        if mesh is not None:
+            from representation_disentanglement_tpu.parallel import (
+                shard_epoch_plan)
+            plan = shard_epoch_plan(plan, mesh)
         state, metrics = train_epoch(state, *plan,
                                      jnp.float32(scheduler.lr))
         metrics = np.asarray(metrics)            # ONE fetch for the epoch
@@ -188,13 +196,14 @@ def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
 
 
 def train(cfg: Config, model, state: TrainState, txs, loaders,
-          start_epoch: int, scheduler: ReduceLROnPlateau) -> TrainState:
+          start_epoch: int, scheduler: ReduceLROnPlateau,
+          mesh=None) -> TrainState:
     from representation_disentanglement_tpu.data.device_store import (
         DeviceBatchLoader)
     if isinstance(loaders[0], DeviceBatchLoader) and not cfg.is_discrim_s \
             and not (cfg.fix_pretrain and cfg.continue_train):
         return train_device_epochs(cfg, model, state, txs, loaders,
-                                   start_epoch, scheduler)
+                                   start_epoch, scheduler, mesh=mesh)
     train_loader, val_loader, _ = loaders
     from representation_disentanglement_tpu.utils.profiling import StepTimer
     train_step, n_micro = make_train_step(model, cfg, txs)
@@ -220,6 +229,10 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
                 continue
             stacked = _stack_micro(micro)
             micro = []
+            if mesh is not None:
+                from representation_disentanglement_tpu.parallel import (
+                    shard_batch)
+                stacked = shard_batch(stacked, mesh, stacked=True)
             z_key, *sub = jax.random.split(z_key, n_micro + 1)
             rngs = jnp.stack(sub)
             sim_pairs = jnp.asarray(draw_pairs(pair_rng, cfg.modality_num,
@@ -310,8 +323,25 @@ def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
         eval_info: str = "") -> dict:
     cfg = resolve_run(cfg, ckpt_root=ckpt_root).derive().validate()
     print(cfg.model_name, "->", cfg.ckpt_path)
+    from representation_disentanglement_tpu.parallel import (
+        mesh_from_config, replicate)
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        print(f"[mesh] data-parallel over {mesh.devices.size} devices")
     model = build_model(cfg)
     loaders = make_loaders(cfg)
+    if mesh is not None:
+        # device caches must be addressable by every mesh device: replicate
+        # the packed volumes (the gather then runs shard-local per device)
+        from representation_disentanglement_tpu.data.device_store import (
+            DeviceBatchLoader)
+        seen = set()
+        for ld in loaders:
+            if isinstance(ld, DeviceBatchLoader) and id(ld.cache) not in seen:
+                seen.add(id(ld.cache))
+                ld.cache.vols = replicate(ld.cache.vols, mesh)
+                ld.cache.tgts = replicate(ld.cache.tgts, mesh)
+                ld.cache.presence = replicate(ld.cache.presence, mesh)
 
     sample = next(iter(loaders[0 if cfg.phase == "train" else 2]))
     sample = {k: sample[k] for k in ("inputs", "targets", "mask", "mask_img")}
@@ -343,9 +373,13 @@ def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
                 print("loading scheduler failed!")
         start_epoch = int(ckpt.get("epoch", -1))
 
+    if mesh is not None:
+        state = TrainState(*[replicate(s, mesh) for s in state])
+
     if cfg.phase == "train":
         cfg.snapshot_txt(cfg.ckpt_path)
-        train(cfg, model, state, txs, loaders, start_epoch, scheduler)
+        train(cfg, model, state, txs, loaders, start_epoch, scheduler,
+              mesh=mesh)
         return {}
     if eval_set == "test_dropoff":
         loader, set_name = make_dropoff_loader(cfg), "test_dropoff"

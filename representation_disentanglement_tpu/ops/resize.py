@@ -11,7 +11,7 @@ at trace time, with static shapes — a sparse-in-structure dense interpolation
 matrix per axis and apply it as two einsums.  XLA maps these onto the MXU and
 fuses the surrounding elementwise work; for 2x upsampling of NHWC feature
 maps this is both faster and exactly reproducible against torch's
-``F.interpolate`` (see tests/test_resize.py).
+``F.interpolate`` (see tests/test_ops.py).
 """
 
 from __future__ import annotations

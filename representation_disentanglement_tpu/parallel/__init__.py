@@ -1,2 +1,3 @@
 from representation_disentanglement_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, replicate, batch_sharding)
+    batch_sharding, make_mesh, mesh_from_config, replicate, shard_batch,
+    shard_epoch_plan)

@@ -11,7 +11,7 @@ the volume's D axis over the ``depth`` mesh axis; inside, the 3D primitives
 - local nearest upsampling (alignment-preserving for 2x blocks).
 
 The result is bitwise-equivalent (up to reduction order) to the unsharded
-forward — verified in tests/test_halo3d.py on the virtual CPU mesh.
+forward — verified in tests/test_unet3d.py on the virtual CPU mesh.
 """
 
 from __future__ import annotations

@@ -59,3 +59,36 @@ def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False):
         sh = batch_sharding(mesh, k, np.ndim(v), stacked)
         out[k] = jax.device_put(v, sh)
     return out
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the data-parallel mesh requested by ``cfg.mesh_shape`` (a
+    TPU-native config addition, config.py: ``mesh_shape: {data: N}``).
+    Returns None for the single-device configuration."""
+    n = int((cfg.mesh_shape or {}).get("data", 1) or 1)
+    if n <= 1:
+        return None
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(
+            f"config mesh_shape data={n} but only {len(devs)} devices are "
+            f"visible ({[str(d) for d in devs[:4]]}...)")
+    if cfg.batch_size % n:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the data-"
+            f"mesh size {n} (global batch is sharded over the data axis)")
+    return make_mesh(n)
+
+
+def shard_epoch_plan(plan, mesh: Mesh, axis: str = "data"):
+    """Shard a whole-epoch device plan (training/epoch.epoch_indices) over
+    the data axis: rows/slices [steps, A, B] and drop [steps, A, B, M] shard
+    on the per-step batch dim; RNG keys and pair draws are replicated."""
+    rows, slices, drop, rng_keys, sim, adv = plan
+    bsh = NamedSharding(mesh, P(None, None, axis))
+    rep = NamedSharding(mesh, P())
+    return (jax.device_put(rows, bsh), jax.device_put(slices, bsh),
+            jax.device_put(drop, NamedSharding(mesh, P(None, None, axis,
+                                                       None))),
+            jax.device_put(rng_keys, rep), jax.device_put(sim, rep),
+            jax.device_put(adv, rep))

@@ -19,6 +19,71 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def _dp_cli_cfg(workdir, mesh_n, timelabel, device_cache=True):
+    import yaml
+    d = dict(phase="train", load_yaml=False, epochs=2,
+             dataset_name="BraTS", contrast_list=["T1", "T2"],
+             norm_type="z-score", block_size=3,
+             data_path=str(workdir / "data") + "/", batch_size=4,
+             num_fold=5, fold=0, shuffle=True, lr=2e-4, p=1,
+             model_name="MultimodalModel", s_num_ch=4, z_size=16,
+             lambda_recon_x=1.0, lambda_recon_x_mix=2.0, lambda_sim_s=10.0,
+             lambda_sim_z=2.0, lambda_latent_z=0.1,
+             others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                     "old": False, "softmax_remove_mask": True},
+             out_num_ch=1, input_height=32, input_width=64,
+             fuse_method="mean", target_model_name="U",
+             ckpt_timelabel=timelabel, effective_batch=4, log_every=0,
+             mesh_shape={"data": mesh_n}, device_data_cache=device_cache,
+             use_pallas=False)
+    p = workdir / f"config_{timelabel}.yaml"
+    p.write_text(yaml.dump(d))
+    return str(p)
+
+
+def _train_losses(run_dir):
+    # stat.csv rows are ragged (val rows append metric columns — reference
+    # format, util.py:853-866), so parse by hand: row = idx, info, values in
+    # sorted-key order; 'all' is the 3rd sorted loss key
+    out = []
+    with open(run_dir / "stat.csv") as f:
+        for line in f.readlines()[1:]:
+            cells = line.strip().split(",")
+            if cells[1].startswith("epoch"):
+                out.append(float(cells[4]))
+    return np.asarray(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("device_cache", [True, False],
+                         ids=["epoch-on-device", "per-step"])
+def test_cli_dp_matches_single_device(tmp_path, device_cache):
+    """The user-facing CLI train path on a 4-way data mesh reproduces the
+    single-device loss trajectory (VERDICT r1 item 2: cfg.mesh_shape must
+    be honored by main_missing.run/train, both loops)."""
+    import h5py  # noqa: F401  (skip if unavailable)
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_missing import main
+
+    make_synthetic_dataset(str(tmp_path / "data"), "BraTS", ("T1", "T2"),
+                           "z-score", n_subj=6, shape=(32, 64, 16),
+                           slice_range=(4, 12))
+    import os
+    traj = {}
+    for n in (1, 4):
+        label = f"dp{n}_{'cache' if device_cache else 'step'}"
+        cfg_path = _dp_cli_cfg(tmp_path, n, label, device_cache=device_cache)
+        root = tmp_path / f"ckpt_{label}"   # fresh runs get timestamped dirs
+        main([cfg_path, "--ckpt-root", str(root)])
+        runs = os.listdir(root / "BraTS" / "MultimodalModel")
+        assert len(runs) == 1, runs
+        traj[n] = _train_losses(root / "BraTS" / "MultimodalModel" / runs[0])
+        assert len(traj[n]) == 2 and np.isfinite(traj[n]).all()
+    # identical epoch plans (same seeds); only f32 reduction order differs
+    np.testing.assert_allclose(traj[4], traj[1], rtol=2e-3)
+
+
 @pytest.mark.slow
 def test_dp_grads_match_single_device(rng):
     """Data-parallel sharded train step == single-device step on the same
