@@ -133,6 +133,10 @@ class Config:
     use_pallas: bool = True                  # fused Pallas SPADE interior
                                              # (TPU only; auto-falls back on
                                              # CPU / oversize slabs / vmap)
+    vgg_npz: Optional[str] = None            # VGG16 weights npz for the
+                                             # perceptual / vgg-compact paths
+                                             # (models.vgg.dump_torchvision_
+                                             # vgg16 produces it)
     prefetch_depth: int = 2
     device_data_cache: bool = True           # upload packed volumes to HBM
                                              # once; gather slice-blocks on
@@ -184,6 +188,17 @@ class Config:
                 "indexes channels 1-3)")
         if self.fuse_method not in ("mean", "max", "mean-max-min"):
             errs.append(f"unknown fuse_method {self.fuse_method!r}")
+        if (self.s_sim_method == "perceptual"
+                or self.s_compact_method == "vgg"):
+            if not self.vgg_npz:
+                errs.append(
+                    "s_sim_method='perceptual' / s_compact_method='vgg' "
+                    "need VGG16 weights: set vgg_npz (produce it with "
+                    "models.vgg.dump_torchvision_vgg16 where torchvision "
+                    "is available; ref loads pretrained VGG16 at "
+                    "model.py:2945-2949)")
+            elif not os.path.exists(self.vgg_npz):
+                errs.append(f"vgg_npz not found: {self.vgg_npz}")
         if self.target_model_name not in ("U", "U+SA", "U+SA+CA", "U+SSA+CA"):
             errs.append(f"unknown target_model_name {self.target_model_name!r}")
         if self.batch_size > self.effective_batch:

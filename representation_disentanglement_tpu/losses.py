@@ -176,18 +176,29 @@ def latent_z_loss(z_mean: jnp.ndarray, z_mean_new: jnp.ndarray,
 # similarity losses
 # ---------------------------------------------------------------------------
 
-def compact_s(s: jnp.ndarray, method: str = "max"):
-    """compute_compact_s (src/model.py:3448-3475): 16x16 pooling, flattened.
-    s: [..., H, W, C] -> [..., H/16 * W/16 * C]."""
+def compact_s(s: jnp.ndarray, method: str = "max", vgg_ctx=None):
+    """compute_compact_s (src/model.py:3448-3475): 16x16 pooling, flattened
+    — or, for method='vgg', full VGG16 features pooled to [B, 512]
+    (compute_compact_s_vgg, src/model.py:3460-3467).
+    s: [..., H, W, C] -> [..., D]."""
     if method == "max":
         pooled = max_pool(s, 16)
     elif method == "mean":
         pooled = avg_pool(s, 16)
+    elif method == "vgg":
+        if vgg_ctx is None:
+            raise ValueError(
+                "s_compact_method='vgg' needs VGG16 weights: set cfg.vgg_npz "
+                "(produce the npz with models.vgg.dump_torchvision_vgg16)")
+        from representation_disentanglement_tpu.models.vgg import (
+            compact_s_vgg)
+        lead = s.shape[:-3]
+        flat = s.reshape((-1,) + s.shape[-3:])
+        vec = compact_s_vgg(flat, vgg_ctx["pre_kernel"], vgg_ctx["pre_bias"],
+                            vgg_ctx["vgg_params"])
+        return vec.reshape(lead + (vec.shape[-1],))
     else:
-        raise NotImplementedError(
-            "s_compact_method='vgg' needs pretrained VGG16 weights, which "
-            "are unavailable offline; provide weights via "
-            "utils.vgg.load_vgg_npz and use perceptual_loss instead.")
+        raise ValueError(f"unknown s_compact_method {method!r}")
     lead = pooled.shape[:-3]
     return pooled.reshape(*lead, -1)
 
@@ -207,14 +218,23 @@ def _roll1(a, axis=0):
 
 
 def similarity_s_loss(s: jnp.ndarray, mask: jnp.ndarray, pair: jnp.ndarray,
-                      margin: float = 0.1, compact_method: str = "max"):
-    """compute_similarity_s_loss (src/model.py:3478-3513), cosine branch:
-    anatomy of the SAME subject across modalities should be closer than
-    anatomy of different subjects (batch-rolled negative).
+                      margin: float = 0.1, compact_method: str = "max",
+                      sim_method: str = "cosine", vgg_ctx=None):
+    """compute_similarity_s_loss (src/model.py:3478-3535): anatomy of the
+    SAME subject across modalities should be closer than anatomy of
+    different subjects (batch-rolled negative).
 
     pair: int32 [2] — the reference picks it with host-side numpy RNG when
     M > 2 (src/model.py:3485); we accept it as an argument so the step stays
-    jittable while the pair is drawn per-iteration outside."""
+    jittable while the pair is drawn per-iteration outside.
+
+    sim_method='perceptual' (src/model.py:3525-3532): the VGG perceptual
+    score is a SCALAR (content+style over the whole pair batch), so the
+    reference's masked mean ``-(mask_mix*sim).sum()/mask_mix.sum()``
+    degenerates to ``-sim`` whenever the pair mask is nonempty.  NOTE the
+    reference only constructs vgg/vgg_pre when s_compact_method=='vgg'
+    (src/model.py:2944-2949), so 'perceptual' with any other compact method
+    crashes upstream; here it works whenever vgg weights are provided."""
     M = s.shape[0]
     if M == 1:
         return jnp.float32(0.0)
@@ -226,9 +246,20 @@ def similarity_s_loss(s: jnp.ndarray, mask: jnp.ndarray, pair: jnp.ndarray,
     si_perm = _roll1(si)
     mask_i_perm = _roll1(mask_i)
     mask_mix = mask_i * mask_j * mask_i_perm
-    si_c = compact_s(si, compact_method)
-    sj_c = compact_s(sj, compact_method)
-    si_perm_c = compact_s(si_perm, compact_method)
+    if sim_method == "perceptual":
+        if vgg_ctx is None:
+            raise ValueError(
+                "s_sim_method='perceptual' needs VGG16 weights: set "
+                "cfg.vgg_npz")
+        from representation_disentanglement_tpu.models.vgg import (
+            perceptual_similarity)
+        sim = perceptual_similarity(si, sj, vgg_ctx["pre_kernel"],
+                                    vgg_ctx["pre_bias"],
+                                    vgg_ctx["vgg_params"])
+        return jnp.where(jnp.sum(mask_mix) > 0, -sim, 0.0)
+    si_c = compact_s(si, compact_method, vgg_ctx)
+    sj_c = compact_s(sj, compact_method, vgg_ctx)
+    si_perm_c = compact_s(si_perm, compact_method, vgg_ctx)
     sim = cosine(si_c, sj_c)
     sim_mix = cosine(si_perm_c, si_c)
     hinge = jnp.maximum(0.0, margin - sim + sim_mix)

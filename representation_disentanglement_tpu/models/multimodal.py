@@ -83,6 +83,8 @@ class MultimodalModel(nn.Module):
     mod_enc_s: bool = False          # others['mod_enc_s']
     ana_dec_act: str = "softmax"     # others['ana_dec_act']
     softmax_remove_mask: bool = True # others['softmax_remove_mask']
+    s_compact_method: str = "max"    # max | mean | vgg (src/config.yaml:35)
+    s_sim_method: str = "cosine"     # cosine | perceptual
     fix_act_bug: bool = False
     use_pallas: bool = False         # fused Pallas SPADE interior (TPU only;
                                      # auto-fallback on CPU / oversize slabs)
@@ -174,6 +176,17 @@ class MultimodalModel(nn.Module):
         if self.is_distri_z:
             self.distri_z = ModalityDistribution(z_size=self.z_size,
                                                  inter_num_ch=128)
+        if self.s_compact_method == "vgg" or self.s_sim_method == "perceptual":
+            # trained s->RGB projection for the VGG perceptual path
+            # (``vgg_pre``, src/model.py:2945-2946); the frozen VGG16
+            # weights themselves are loss-side constants (cfg.vgg_npz), not
+            # model params.  Declared via self.param so they exist in the
+            # tree even though the loss consumes them outside apply().
+            self.vgg_pre_kernel = self.param(
+                "vgg_pre_kernel", nn.initializers.lecun_normal(),
+                (3, 3, self.s_num_ch, 3))
+            self.vgg_pre_bias = self.param(
+                "vgg_pre_bias", nn.initializers.zeros, (3,))
 
     # ------------------------------------------------------------------
     def _types(self) -> jnp.ndarray:

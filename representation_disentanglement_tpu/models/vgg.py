@@ -89,17 +89,37 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bnc,bnd->bcd", f, f) / (h * w)
 
 
+def _pad224(x: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric zero-pad [B, H, W, C] to 224x224 (src/model.py:3418-3421)."""
+    pad_h = (224 - x.shape[1]) // 2
+    pad_w = (224 - x.shape[2]) // 2
+    return jnp.pad(x, [(0, 0), (pad_h, 224 - x.shape[1] - pad_h),
+                       (pad_w, 224 - x.shape[2] - pad_w), (0, 0)])
+
+
+def compact_s_vgg(x: jnp.ndarray, pre_kernel: jnp.ndarray,
+                  pre_bias: jnp.ndarray,
+                  vgg_params: Dict[str, np.ndarray]) -> jnp.ndarray:
+    """compute_compact_s_vgg (src/model.py:3460-3467): pad to 224, learned
+    3x3 RGB projection, FULL VGG16 'features' (31 layers), 7x7 avg-pool,
+    flatten -> [B, 512]."""
+    xp = conv2d(_pad224(x.astype(jnp.float32)), pre_kernel, pre_bias, 1, 1)
+    (feat,) = vgg16_features(xp, vgg_params, (31,))
+    pooled = feat.reshape(feat.shape[0], feat.shape[1] // 7, 7,
+                          feat.shape[2] // 7, 7, feat.shape[3]).mean((2, 4))
+    return pooled.reshape(feat.shape[0], -1)
+
+
 def perceptual_similarity(x: jnp.ndarray, y: jnp.ndarray,
                           pre_kernel: jnp.ndarray, pre_bias: jnp.ndarray,
                           vgg_params: Dict[str, np.ndarray],
-                          input_size: Tuple[int, int]) -> jnp.ndarray:
+                          input_size: Optional[Tuple[int, int]] = None,
+                          ) -> jnp.ndarray:
     """compute_perceptual parity (src/model.py:3417-3445): returns the
     NEGATED (content + 1e3 * style) loss, i.e. a similarity score."""
-    pad_h = (224 - input_size[0]) // 2
-    pad_w = (224 - input_size[1]) // 2
-    pad = [(0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)]
-    xp = conv2d(jnp.pad(x, pad), pre_kernel, pre_bias, 1, 1)
-    yp = conv2d(jnp.pad(y, pad), pre_kernel, pre_bias, 1, 1)
+    del input_size                      # pads derive from the array shape
+    xp = conv2d(_pad224(x.astype(jnp.float32)), pre_kernel, pre_bias, 1, 1)
+    yp = conv2d(_pad224(y.astype(jnp.float32)), pre_kernel, pre_bias, 1, 1)
     taps = (0, 5, 10, 17, 21, 24)
     fx = vgg16_features(xp, vgg_params, taps)
     fy = vgg16_features(yp, vgg_params, taps)

@@ -32,7 +32,8 @@ from representation_disentanglement_tpu.data.device_store import (
 from representation_disentanglement_tpu.training.optim import (
     clip_global_norm)
 from representation_disentanglement_tpu.training.train import (
-    LOSS_KEYS, TrainState, assemble_losses, draw_pairs)
+    LOSS_KEYS, TrainState, assemble_losses, draw_pairs, load_vgg_constants,
+    make_vgg_ctx)
 
 
 def make_train_epoch(model, cfg, txs, cache: DeviceVolumeCache,
@@ -42,6 +43,7 @@ def make_train_epoch(model, cfg, txs, cache: DeviceVolumeCache,
     B = cfg.batch_size
     needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
     bdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    vgg_constants = load_vgg_constants(cfg)
 
     def loss_fn(params, batch_stats, mb, rng, sim_pair, adv_pair,
                 compute_y):
@@ -53,7 +55,8 @@ def make_train_epoch(model, cfg, txs, cache: DeviceVolumeCache,
             adv_pair=adv_pair if cfg.is_discrim_s else None,
             mutable=["batch_stats"])
         l = assemble_losses(cfg, mb, out, sim_pair, adv_pair,
-                            out.get("d_logits"))
+                            out.get("d_logits"),
+                            vgg_ctx=make_vgg_ctx(params, vgg_constants))
         return l["all"], (l, muts["batch_stats"])
 
     def one_step(state: TrainState, xs, compute_y_first):

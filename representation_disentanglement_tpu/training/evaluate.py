@@ -29,7 +29,7 @@ from representation_disentanglement_tpu import losses as L
 from representation_disentanglement_tpu.metrics import (
     compute_reconstruction_metrics, compute_segmentation_metrics)
 from representation_disentanglement_tpu.training.train import (
-    LOSS_KEYS, assemble_losses)
+    LOSS_KEYS, assemble_losses, load_vgg_constants, make_vgg_ctx)
 
 try:
     import h5py
@@ -44,6 +44,7 @@ def _nchw(a: np.ndarray) -> np.ndarray:
 
 def make_eval_step(model, cfg):
     needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
+    vgg_constants = load_vgg_constants(cfg)
 
     @functools.partial(jax.jit, static_argnames=("compute_y",))
     def eval_step(params, batch_stats, batch, sim_pair, adv_pair,
@@ -55,7 +56,8 @@ def make_eval_step(model, cfg):
             latent_cycle=cfg.lambda_latent_z > 0,
             adv_pair=adv_pair if cfg.is_discrim_s else None)
         l = assemble_losses(cfg, batch, out, sim_pair, adv_pair,
-                            out.get("d_logits"))
+                            out.get("d_logits"),
+                            vgg_ctx=make_vgg_ctx(params, vgg_constants))
         return out, l
 
     @jax.jit
@@ -96,13 +98,22 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
 
     retrieval = info in ("nearest_neighbour", "mean")
     if retrieval:
+        if M > 2:
+            # faithful to the reference (src/main_missing.py:416-425, which
+            # queries modality |1-i|, i.e. modality 1 for every i > 1) but
+            # only *meaningful* for the 2-contrast setups it was written for
+            print(f"[retrieval] WARNING: the reference's retrieval query "
+                  f"rule src=|1-i| assumes 2 contrasts; with M={M} every "
+                  f"missing modality i>1 is queried with modality 1's "
+                  f"anatomy key")
+        vgg_ctx = make_vgg_ctx(params, load_vgg_constants(cfg))
         bank_path = os.path.join(res_path, "results_all.h5")
         with h5py.File(bank_path, "r") as bank:
             s_saved = np.asarray(bank["s_list"])       # [N, M, Cs, H, W]
             z_saved = np.asarray(bank["z_list"])       # [N, M, z]
         s_saved_nhwc = np.moveaxis(s_saved, 2, -1)
         s_compact_saved = [np.asarray(L.compact_s(
-            jnp.asarray(s_saved_nhwc[:, i]), cfg.s_compact_method))
+            jnp.asarray(s_saved_nhwc[:, i]), cfg.s_compact_method, vgg_ctx))
             for i in range(M)]
 
     n_iter = 0
@@ -126,7 +137,8 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
             z_cols = []
             for i in range(M):
                 src = abs(1 - i)
-                si_c = L.compact_s(out["s"][src], cfg.s_compact_method)
+                si_c = L.compact_s(out["s"][src], cfg.s_compact_method,
+                                   vgg_ctx)
                 if info == "nearest_neighbour":
                     zf = L.nearest_neighbour_z_by_s(
                         jnp.asarray(s_compact_saved[src]),
