@@ -34,6 +34,34 @@ sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
+# bf16 peak TFLOP/s per chip by TPU generation (public figures)
+_PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0,
+                "v6 lite": 918.0, "v6e": 918.0}
+
+
+def _device_peak_tflops() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    return 197.0                           # conservative default
+
+
+def _step_flops(step_fn, *args, **static) -> float:
+    """FLOPs of one compiled step via XLA's cost analysis (returns 0 when
+    the backend doesn't expose it, e.g. some remote-compile paths)."""
+    try:
+        compiled = step_fn.lower(*args, **static).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:                             # pragma: no cover
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16", use_pallas=False,
                cond_mode="grouped", notshared_impl="loop", remat=True):
@@ -71,6 +99,9 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     # synchronization (measured 70x discrepancy), so every timing window
     # ends with np.asarray of the result.
     sync = lambda a: np.asarray(a)
+    flops_per_step = _step_flops(
+        train_step, state, stacked, rngs, pairs(), pairs(),
+        jnp.float32(cfg.lr), first_of_epoch=False)
     state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                           jnp.float32(cfg.lr), first_of_epoch=False)
     sync(m)
@@ -106,7 +137,13 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     from representation_disentanglement_tpu.training.train import \
         metrics_to_dict
     final_loss = metrics_to_dict(m)["all"] / n_micro
-    return train_sps, infer_sps, final_loss
+    step_time = effective_batch / train_sps
+    tflops_achieved = flops_per_step / step_time / 1e12 if flops_per_step \
+        else 0.0
+    mfu = tflops_achieved / _device_peak_tflops()
+    return {"train_sps": train_sps, "infer_sps": infer_sps,
+            "final_loss": final_loss, "flops_per_step": flops_per_step,
+            "tflops_per_sec": tflops_achieved, "mfu": mfu}
 
 
 def bench_reference(height, width, n_contrasts, batch_size, steps=2):
@@ -183,6 +220,10 @@ def main():
                     help="segmented remat; OFF by default for the flagship "
                          "bench (bf16 + loop decoders fit in HBM; +26% "
                          "measured without it)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-step microbatch size (default 8)")
+    ap.add_argument("--effective", type=int, default=None,
+                    help="effective batch via grad accumulation (default 16)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -191,13 +232,15 @@ def main():
     else:
         h, w = 160, 192
         contrasts = ("T1", "T1c", "T2", "T2_FLAIR")
-        bs, eb = 8, 16
+        bs, eb = args.batch or 8, args.effective or 16
         steps = args.steps or 20
 
-    train_sps, infer_sps, loss = bench_ours(
+    r = bench_ours(
         h, w, contrasts, bs, eb, steps, dtype=args.dtype,
         use_pallas=args.pallas, cond_mode=args.cond_mode,
         notshared_impl=args.notshared, remat=args.remat)
+    train_sps, infer_sps, loss = (r["train_sps"], r["infer_sps"],
+                                  r["final_loss"])
 
     baseline = None
     # the torch reference hard-pins 160x192 (the 5*6*128 flatten,
@@ -229,6 +272,9 @@ def main():
         "unit": "slices/sec/chip",
         "vs_baseline": round(train_sps / baseline, 2) if baseline else None,
         "infer_slices_per_sec": round(infer_sps, 3),
+        "mfu": round(r["mfu"], 4),
+        "tflops_per_sec": round(r["tflops_per_sec"], 2),
+        "flops_per_step": r["flops_per_step"],
         "final_loss": round(loss, 4),
         "config": f"BraTS {len(contrasts)}-modality {h}x{w} batch {bs} "
                   f"(effective {eb})",

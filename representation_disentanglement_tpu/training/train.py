@@ -41,8 +41,28 @@ LOSS_KEYS = ("recon_y", "recon_y_fused", "recon_x", "recon_x_mix", "kl",
              "latent_z", "sim_s", "sim_z", "adv_s", "adv_s_d", "all")
 
 
+def load_vgg_constants(cfg):
+    """Frozen VGG16 feature weights for the perceptual / vgg-compact sim-s
+    paths (ref loads pretrained torchvision VGG16, src/model.py:2945-2949).
+    Returns None when the config doesn't use them."""
+    if cfg.s_sim_method != "perceptual" and cfg.s_compact_method != "vgg":
+        return None
+    from representation_disentanglement_tpu.models.vgg import load_vgg_npz
+    return {k: jnp.asarray(v) for k, v in load_vgg_npz(cfg.vgg_npz).items()}
+
+
+def make_vgg_ctx(params, vgg_constants):
+    """Bundle the trained vgg_pre projection (model params) with the frozen
+    VGG16 weights for the loss functions."""
+    if vgg_constants is None:
+        return None
+    return {"pre_kernel": params["vgg_pre_kernel"],
+            "pre_bias": params["vgg_pre_bias"],
+            "vgg_params": vgg_constants}
+
+
 def assemble_losses(cfg, batch, out, sim_pair, adv_pair=None,
-                    d_logits=None) -> Dict[str, jnp.ndarray]:
+                    d_logits=None, vgg_ctx=None) -> Dict[str, jnp.ndarray]:
     """Weighted loss assembly (src/main_missing.py:192-251)."""
     x = batch["inputs"]
     mask = batch["mask"]
@@ -91,7 +111,8 @@ def assemble_losses(cfg, batch, out, sim_pair, adv_pair=None,
         total += cfg.lambda_latent_z * l["latent_z"]
     if cfg.lambda_sim_s > 0:
         l["sim_s"] = L.similarity_s_loss(
-            out["s"], mask, sim_pair, compact_method=cfg.s_compact_method)
+            out["s"], mask, sim_pair, compact_method=cfg.s_compact_method,
+            sim_method=cfg.s_sim_method, vgg_ctx=vgg_ctx)
         total += cfg.lambda_sim_s * l["sim_s"]
     if cfg.lambda_sim_z > 0:
         l["sim_z"] = L.similarity_z_loss(out["z"], mask)
@@ -110,19 +131,30 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     opt_d_state: Any          # discriminator Adam (quirk Q3: over all params)
+    d_carry: Any = ()         # quirk Q10: the reference's D-step backward
+                              # leaves d-grads in .grad AFTER zero_grad, so
+                              # they leak into the next accumulation window
+                              # (main_missing.py:286-289); carried here.
+                              # Deliberately NOT checkpointed: torch resume
+                              # also restarts with .grad = None.
 
 
 def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, Any]:
     variables = model.init(
         {"params": rng}, sample_batch["inputs"], sample_batch["mask"],
-        sample_batch["mask_img"], jax.random.PRNGKey(0), train=False)
+        sample_batch["mask_img"], jax.random.PRNGKey(0), train=False,
+        # the discriminator branch only runs when a pair is given, so the
+        # adversarial config must init with one or discrim params are missing
+        adv_pair=jnp.asarray([0, 1]) if cfg.is_discrim_s else None)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = adam_amsgrad_torch(weight_decay=cfg.weight_decay)
     tx_d = adam_amsgrad_torch(weight_decay=0.0)  # main_missing.py:122: no wd
     opt_state = tx.init(params)
     opt_d_state = tx_d.init(params) if cfg.is_discrim_s else ()
-    return TrainState(params, batch_stats, opt_state, opt_d_state), (tx, tx_d)
+    d_carry = jax.tree.map(jnp.zeros_like, params) if cfg.is_discrim_s else ()
+    return (TrainState(params, batch_stats, opt_state, opt_d_state, d_carry),
+            (tx, tx_d))
 
 
 STAGE1_ROOTS = ("anatomy_encoder_enc", "anatomy_encoder_dec",
@@ -130,12 +162,18 @@ STAGE1_ROOTS = ("anatomy_encoder_enc", "anatomy_encoder_dec",
                 "input_decoder_notshared")
 
 
+def is_stage1_param(root: str) -> bool:
+    # prefix match: the 'loop' decoder impl names its halves
+    # input_decoder_notshared_<i>
+    return any(root == r or root.startswith(r + "_") for r in STAGE1_ROOTS)
+
+
 def freeze_stage1_grads(grads):
     """Two-stage training: zero stage-1 submodule grads when
     fix_pretrain + continue_train (src/main_missing.py:104-116)."""
     from flax.traverse_util import flatten_dict, unflatten_dict
     flat = flatten_dict(grads)
-    out = {k: (jnp.zeros_like(v) if k[0] in STAGE1_ROOTS else v)
+    out = {k: (jnp.zeros_like(v) if is_stage1_param(k[0]) else v)
            for k, v in flat.items()}
     return unflatten_dict(out)
 
@@ -145,6 +183,7 @@ def make_train_step(model, cfg, txs, donate: bool = True):
     n_micro = max(cfg.effective_batch // cfg.batch_size, 1)
     needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
     freeze = cfg.fix_pretrain and cfg.continue_train
+    vgg_constants = load_vgg_constants(cfg)
 
     cast = (lambda mb: dict(mb, inputs=mb["inputs"].astype(jnp.bfloat16))) \
         if cfg.compute_dtype == "bfloat16" else (lambda mb: mb)
@@ -159,7 +198,8 @@ def make_train_step(model, cfg, txs, donate: bool = True):
             adv_pair=adv_pair if cfg.is_discrim_s else None,
             mutable=["batch_stats"])
         l = assemble_losses(cfg, mb, out, sim_pair, adv_pair,
-                            out.get("d_logits"))
+                            out.get("d_logits"),
+                            vgg_ctx=make_vgg_ctx(params, vgg_constants))
         return l["all"], (l, muts["batch_stats"])
 
     def d_loss_fn(params, batch_stats, mb, rng, adv_pair):
@@ -178,7 +218,11 @@ def make_train_step(model, cfg, txs, donate: bool = True):
     def train_step(state: TrainState, microbatches, rngs, sim_pairs,
                    adv_pairs, lr, first_of_epoch: bool = False):
         params, batch_stats = state.params, state.batch_stats
-        g_acc = jax.tree.map(jnp.zeros_like, params)
+        if cfg.is_discrim_s:
+            # quirk Q10: the previous window's d-grads are still in .grad
+            g_acc = jax.tree.map(jnp.asarray, state.d_carry)
+        else:
+            g_acc = jax.tree.map(jnp.zeros_like, params)
         loss_sums = {k: jnp.float32(0.0) for k in LOSS_KEYS}
         grad_norm = jnp.float32(0.0)
 
@@ -190,19 +234,23 @@ def make_train_step(model, cfg, txs, donate: bool = True):
                 loss_fn, has_aux=True)(
                 params, batch_stats, mb, rngs[a], sim_pairs[a], adv_pairs[a],
                 compute_y)
+            if freeze:
+                # frozen params never receive grads in torch, so they are
+                # excluded from the clip norm too (main_missing.py:104-116,
+                # 272) — mask BEFORE accumulate+clip
+                grads = freeze_stage1_grads(grads)
             g_acc = jax.tree.map(jnp.add, g_acc, grads)
             # reference clips the ACCUMULATED grad every iteration
             # (main_missing.py:272, clip of clip(g1)+g2)
             g_acc, grad_norm = clip_global_norm(g_acc, cfg.grad_clip_norm)
             loss_sums = {k: loss_sums[k] + l[k] for k in LOSS_KEYS}
 
-        if freeze:
-            g_acc = freeze_stage1_grads(g_acc)
-
         if cfg.is_discrim_s:
             d_grads = jax.grad(d_loss_fn)(
                 params, batch_stats, mb_a(n_micro - 1), rngs[n_micro - 1],
                 adv_pairs[n_micro - 1])
+            if freeze:
+                d_grads = freeze_stage1_grads(d_grads)
 
         updates, opt_state = tx.update(g_acc, state.opt_state, params,
                                        learning_rate=lr)
@@ -211,15 +259,19 @@ def make_train_step(model, cfg, txs, donate: bool = True):
             updates = freeze_stage1_grads(updates)
         params = jax.tree.map(jnp.add, params, updates)
 
-        opt_d_state = state.opt_d_state
+        opt_d_state, d_carry = state.opt_d_state, state.d_carry
         if cfg.is_discrim_s:
             # torch order: d-grads at pre-step params, applied after the
             # main step (main_missing.py:286-289)
             d_updates, opt_d_state = tx_d.update(
                 d_grads, state.opt_d_state, params, learning_rate=lr)
+            if freeze:
+                d_updates = freeze_stage1_grads(d_updates)
             params = jax.tree.map(jnp.add, params, d_updates)
+            d_carry = d_grads
 
-        new_state = TrainState(params, batch_stats, opt_state, opt_d_state)
+        new_state = TrainState(params, batch_stats, opt_state, opt_d_state,
+                               d_carry)
         # ONE stacked vector instead of a dict of scalars: fetching a dict
         # costs one host<->device roundtrip per leaf (the reference syncs 11
         # scalars per iteration, main_missing.py:253-263; over the TPU
