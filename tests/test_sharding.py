@@ -19,12 +19,13 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
-def _dp_cli_cfg(workdir, mesh_n, timelabel, device_cache=True):
+def _dp_cli_cfg(workdir, mesh_n, timelabel, device_cache=True,
+                batch_size=4):
     import yaml
     d = dict(phase="train", load_yaml=False, epochs=2,
              dataset_name="BraTS", contrast_list=["T1", "T2"],
              norm_type="z-score", block_size=3,
-             data_path=str(workdir / "data") + "/", batch_size=4,
+             data_path=str(workdir / "data") + "/", batch_size=batch_size,
              num_fold=5, fold=0, shuffle=True, lr=2e-4, p=1,
              model_name="MultimodalModel", s_num_ch=4, z_size=16,
              lambda_recon_x=1.0, lambda_recon_x_mix=2.0, lambda_sim_s=10.0,
@@ -55,12 +56,13 @@ def _train_losses(run_dir):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("device_cache", [True, False],
-                         ids=["epoch-on-device", "per-step"])
-def test_cli_dp_matches_single_device(tmp_path, device_cache):
-    """The user-facing CLI train path on a 4-way data mesh reproduces the
+@pytest.mark.parametrize("device_cache,mesh_n", [(True, 8), (False, 4)],
+                         ids=["epoch-on-device-8way", "per-step-4way"])
+def test_cli_dp_matches_single_device(tmp_path, device_cache, mesh_n):
+    """The user-facing CLI train path on a data mesh reproduces the
     single-device loss trajectory (VERDICT r1 item 2: cfg.mesh_shape must
-    be honored by main_missing.run/train, both loops)."""
+    be honored by main_missing.run/train, both loops; item 7: whole-epoch
+    loop exercised at the full 8-way mesh)."""
     import h5py  # noqa: F401  (skip if unavailable)
     from representation_disentanglement_tpu.data.synthetic import (
         make_synthetic_dataset)
@@ -71,9 +73,10 @@ def test_cli_dp_matches_single_device(tmp_path, device_cache):
                            slice_range=(4, 12))
     import os
     traj = {}
-    for n in (1, 4):
+    for n in (1, mesh_n):
         label = f"dp{n}_{'cache' if device_cache else 'step'}"
-        cfg_path = _dp_cli_cfg(tmp_path, n, label, device_cache=device_cache)
+        cfg_path = _dp_cli_cfg(tmp_path, n, label, device_cache=device_cache,
+                               batch_size=mesh_n)
         root = tmp_path / f"ckpt_{label}"   # fresh runs get timestamped dirs
         main([cfg_path, "--ckpt-root", str(root)])
         runs = os.listdir(root / "BraTS" / "MultimodalModel")
@@ -81,7 +84,7 @@ def test_cli_dp_matches_single_device(tmp_path, device_cache):
         traj[n] = _train_losses(root / "BraTS" / "MultimodalModel" / runs[0])
         assert len(traj[n]) == 2 and np.isfinite(traj[n]).all()
     # identical epoch plans (same seeds); only f32 reduction order differs
-    np.testing.assert_allclose(traj[4], traj[1], rtol=2e-3)
+    np.testing.assert_allclose(traj[mesh_n], traj[1], rtol=2e-3)
 
 
 @pytest.mark.slow

@@ -22,12 +22,15 @@ def test_channel_sharded_nvnet_matches(rng):
     uout, vout, mu, lv = jax.jit(
         lambda v, x: model.apply(v, x, train=False))(variables, x)
 
-    mesh = make_tp_mesh(4)
-    sharded = {"params": shard_params_by_channel(variables["params"], mesh)}
-    u2, v2, m2, l2 = jax.jit(
-        lambda v, x: model.apply(v, x, train=False))(sharded, x)
-    np.testing.assert_allclose(np.asarray(u2), np.asarray(uout), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(m2), np.asarray(mu), atol=2e-4)
+    for n in (4, 8):            # full 8-way TP (VERDICT r1 item 7)
+        mesh = make_tp_mesh(n)
+        sharded = {"params": shard_params_by_channel(variables["params"],
+                                                     mesh)}
+        u2, v2, m2, l2 = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(sharded, x)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(uout),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(mu), atol=2e-4)
 
 
 @pytest.mark.slow
