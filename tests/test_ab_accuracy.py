@@ -1,0 +1,134 @@
+"""A/B accuracy protocol (BASELINE.md north star; VERDICT r1 item 9).
+
+Train the torch reference and this framework from the SAME initialization
+on IDENTICAL data for N optimizer steps, then evaluate BOTH resulting
+weight sets through the real ``evaluate()`` -> ``results_all.h5`` path and
+require reconstruction-metric agreement within the north-star tolerances:
+PSNR +-0.5 dB, SSIM +-0.005.
+
+The torch-side weights are scored by transplanting them into our model and
+running the same evaluator — legitimate because (a) eval-mode forward
+parity is covered by test_parity_model.py / test_train_parity_full.py and
+(b) the metric definitions are skimage-parity-tested in test_metrics.py;
+this isolates the question the protocol asks: do the OPTIMIZATION DYNAMICS
+land on equivalent weights?
+
+Native 160x192 (the reference pins it), torch CPU: minutes — gated behind
+RDT_FULL_PARITY=1.  Last recorded run (see PARITY.md):
+  ours: psnr 6.0704 ssim 0.00279 | ref-trained: psnr 6.0703 ssim 0.00279
+  |d_psnr| = 5e-5 dB, |d_ssim| = 9e-7 (vs tolerances 0.5 dB / 0.005).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RDT_FULL_PARITY"),
+    reason="A/B accuracy protocol is slow (torch CPU at 160x192); "
+           "set RDT_FULL_PARITY=1")
+
+torch = pytest.importorskip("torch")
+
+H, W, M, B = 160, 192, 2, 2
+STEPS = 6
+LR = 2e-4
+
+
+def test_ab_accuracy_protocol(rng, ref_model_module, tmp_path):
+    from tests.test_train_parity_full import SHIPPED, _ref_train
+    from representation_disentanglement_tpu.config import Config
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_partial_params)
+    from representation_disentanglement_tpu.training.evaluate import evaluate
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state, make_train_step, metrics_to_dict)
+    from representation_disentanglement_tpu.utils.transplant import (
+        transplant_multimodal)
+
+    # identical training data for both frameworks
+    xs_np = [rng.normal(size=(B, 7, H, W)).astype(np.float32) * 0.5
+             for _ in range(M)]
+    targets_np = np.zeros((B, 1, H, W), np.float32)
+    mask_np = np.ones((B, M), np.float32)
+    mask_img_np = np.zeros((B, H, W), np.float32)
+
+    # ---- torch reference: STEPS optimizer steps from a fresh init ----
+    sd0 = {}
+    ref_losses, ref_model = _ref_train(
+        ref_model_module, sd0, xs_np, targets_np, mask_np, mask_img_np,
+        SHIPPED, M, 1, STEPS)
+    sd_final = {k: v.detach().clone()
+                for k, v in ref_model.state_dict().items()}
+
+    # ---- ours: same init (transplant sd0), same data, same steps ----
+    cfg = Config(dataset_name="BraTS", contrast_list=["T1", "T2"],
+                 input_height=H, input_width=W, batch_size=B,
+                 effective_batch=B, shared_inp_dec=False, is_cond=True,
+                 use_pallas=False,
+                 others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                         "old": False, "softmax_remove_mask": True},
+                 **SHIPPED)
+    cfg.derive().validate()
+    cfg.ckpt_path = str(tmp_path)
+    model = build_model(cfg)
+    batch = {
+        "inputs": jnp.asarray(np.stack(
+            [np.moveaxis(x, 1, -1) for x in xs_np], 0)),
+        "targets": jnp.asarray(np.moveaxis(targets_np, 1, -1)),
+        "mask": jnp.asarray(mask_np),
+        "mask_img": jnp.asarray(mask_img_np),
+    }
+    state, txs = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+
+    def transplant(sd):
+        p, s = transplant_multimodal(
+            sd, M, input_size=(H, W), is_cond=True, shared_inp_dec=False,
+            notshared_impl=cfg.notshared_impl)
+        mp, n_res, n_tot = load_partial_params(state.params, p)
+        assert n_res == n_tot
+        ms, _, _ = load_partial_params(state.batch_stats, s)
+        return mp, ms
+
+    p0, s0 = transplant(sd0)
+    my_state = state._replace(params=p0, batch_stats=s0)
+    step_fn, n_micro = make_train_step(model, cfg, txs, donate=False)
+    stacked = jax.tree.map(lambda v: v[None], batch)
+    pair = jnp.asarray([[0, 1]], jnp.int32)
+    orig_sample = type(model).sample_z
+    type(model).sample_z = lambda self, rng, mean, lv: mean
+    try:
+        for i in range(STEPS):
+            rngs = jax.random.split(jax.random.PRNGKey(i), 1)
+            my_state, m = step_fn(my_state, stacked, rngs, pair, pair,
+                                  jnp.float32(LR), first_of_epoch=(i == 0))
+    finally:
+        type(model).sample_z = orig_sample
+
+    # ---- evaluate BOTH weight sets through the real evaluate() path ----
+    class OneBatchLoader:
+        def __iter__(self):
+            yield dict(batch, subj_id=["s0"] * B,
+                       slice_idx=np.arange(B))
+
+    stats = {}
+    for tag, (p, s) in (("ours", (my_state.params, my_state.batch_stats)),
+                        ("ref", transplant(sd_final))):
+        st = evaluate(model, p, s, cfg, OneBatchLoader(), phase="test",
+                      set_name=f"ab_{tag}", save_res=True)
+        assert os.path.exists(os.path.join(
+            str(tmp_path), f"result_ab_{tag}", "results_all.h5"))
+        stats[tag] = st
+
+    d_psnr = abs(stats["ours"]["psnr"] - stats["ref"]["psnr"])
+    d_ssim = abs(stats["ours"]["ssim"] - stats["ref"]["ssim"])
+    print(f"A/B: ours psnr={stats['ours']['psnr']:.4f} "
+          f"ssim={stats['ours']['ssim']:.5f} | ref-trained "
+          f"psnr={stats['ref']['psnr']:.4f} ssim={stats['ref']['ssim']:.5f} "
+          f"| d_psnr={d_psnr:.5f} d_ssim={d_ssim:.7f}")
+    assert d_psnr <= 0.5, f"PSNR divergence {d_psnr} > 0.5 dB"
+    assert d_ssim <= 0.005, f"SSIM divergence {d_ssim} > 0.005"
