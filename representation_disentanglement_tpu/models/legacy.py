@@ -17,10 +17,10 @@ blocks) so users of those model names can migrate:
 - ``SymmetrySpatialAttentionLayer`` / ``SymmetryResidualSpatialAttentionLayer``
   / ``MultiAttentionLayer``                      (src/model.py:1329-1467)
 
-Intentionally NOT re-implemented: ``DANet`` (broken upstream — references an
-undefined ``resnet`` module, src/model.py:1767) and the torchvision-pretrained
-``ResNet18`` amyloid classifier (src/model.py:1591-1601; no pretrained
-weights offline — see models/vgg.py for the npz-weight pattern to use).
+``DANet`` (broken upstream — undefined ``resnet`` module,
+src/model.py:1767) has a WORKING port in models/danet.py; the ``ResNet18``
+amyloid classifier lives in models/resnet.py (npz weight contract); the
+remaining legacy generator bodies live in models/legacy_generators.py.
 """
 
 from __future__ import annotations
