@@ -79,3 +79,49 @@ def test_cli_train_then_test(workdir):
         assert f["inputs"].shape == (n, 14, 32, 64)     # [N, M*bc, H, W]
         assert f["s_list"].shape == (n, 2, 4, 32, 64)
         assert f["z_list"].shape == (n, 2, 16)
+
+
+@pytest.mark.slow
+def test_cli_zerodose_pet_synthesis(tmp_path):
+    """ZeroDose PET synthesis e2e: y-losses on (recon_y/recon_y_fused
+    through the FIXED per-sample fusion), monitor = recon_y_fused, recon
+    metrics computed on the fused y (src/main_missing.py:528-533), ZeroDose
+    h5 name + contrast-count fold-txt dispatch (util.py:650-668)."""
+    import yaml
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_missing import main
+
+    make_synthetic_dataset(str(tmp_path / "data"), "ZeroDose",
+                           ("T1", "T2_FLAIR"), "z-score", n_subj=6,
+                           shape=(32, 64, 16), slice_range=(4, 12))
+    d = dict(phase="train", load_yaml=False, epochs=1,
+             dataset_name="ZeroDose", contrast_list=["T1", "T2_FLAIR"],
+             norm_type="z-score", block_size=3,
+             data_path=str(tmp_path / "data") + "/", batch_size=4,
+             num_fold=5, fold=0, shuffle=True, lr=2e-4, p=1,
+             model_name="MultimodalModel", s_num_ch=4, z_size=16,
+             lambda_recon_y=1.0, lambda_recon_y_fused=2.0,
+             lambda_recon_x=1.0, lambda_recon_x_mix=2.0, lambda_sim_s=10.0,
+             lambda_sim_z=2.0, lambda_latent_z=0.1,
+             others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                     "old": False, "softmax_remove_mask": True},
+             out_num_ch=1, input_height=32, input_width=64,
+             fuse_method="mean", target_model_name="U+SA",
+             effective_batch=4, log_every=0, use_pallas=False)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(d))
+    main([str(cfg_path), "--ckpt-root", str(tmp_path / "ckpt")])
+    run = os.listdir(tmp_path / "ckpt" / "ZeroDose" / "MultimodalModel")[0]
+    run_dir = tmp_path / "ckpt" / "ZeroDose" / "MultimodalModel" / run
+
+    d.update(phase="test", ckpt_timelabel=run, load_yaml=False,
+             continue_train=False)
+    cfg_path.write_text(yaml.dump(d))
+    stat = main([str(cfg_path), "--ckpt-root", str(tmp_path / "ckpt")])
+    # y-losses active: metrics are PSNR/SSIM on the FUSED synthesized PET
+    assert np.isfinite(stat["recon_y_fused"]) and stat["recon_y_fused"] > 0
+    assert np.isfinite(stat["psnr"]) and np.isfinite(stat["ssim"])
+    with h5py.File(run_dir / "result_test" / "results_all.h5") as f:
+        assert f["y_fake_fused"].shape[1:] == (1, 32, 64)   # [N, Co, H, W]
+        assert f["targets"].shape[1:] == (1, 32, 64)

@@ -324,7 +324,15 @@ def test_full_training_trajectory_matches(rng, ref_model_module):
 
 @FULL
 def test_full_training_trajectory_m4_everything(rng, ref_model_module):
-    """Flagship M=4 with every loss term on, pinned pair draws."""
+    """Flagship M=4 with every loss term on, pinned pair draws.
+
+    Tolerance note (measured): the per-step divergence grows ~100x per
+    optimizer step (2e-6 -> 2.4e-4 -> 2.3e-2 absolute on losses ~4) — the
+    signature of chaotic amplification of f32 reduction-order noise through
+    the hinge losses (max(0, margin - cos + cos_mix) flips its active set
+    at the boundary), NOT a constant semantic offset (which would show at
+    step 1; step 1 agrees to 4e-7 relative).  rtol 1e-2 bounds the 3-step
+    trajectory; the M=2 variant with the same loss set holds 2e-3."""
     pairs = [[0, 1], [2, 3], [1, 2], [0, 3], [3, 1], [2, 0]]
     _run_case(rng, ref_model_module, EVERYTHING, M=4, out_num_ch=4,
-              steps=3, B=2, pairs=pairs)
+              steps=3, B=2, pairs=pairs, rtol=1e-2)
