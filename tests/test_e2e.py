@@ -125,3 +125,41 @@ def test_cli_zerodose_pet_synthesis(tmp_path):
     with h5py.File(run_dir / "result_test" / "results_all.h5") as f:
         assert f["y_fake_fused"].shape[1:] == (1, 32, 64)   # [N, Co, H, W]
         assert f["targets"].shape[1:] == (1, 32, 64)
+
+
+@pytest.mark.slow
+def test_cli_ncanda_cross_synthesis(tmp_path):
+    """NCANDA T1/T2 e2e: the generic fold_<ds>_<fold>_<set>.txt dispatch
+    (util.py:718-720) and the y-free disentanglement config (no target
+    exists for NCANDA; metrics fall back to mix-reconstruction PSNR/SSIM,
+    src/main_missing.py:519-528)."""
+    import yaml
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_missing import main
+
+    make_synthetic_dataset(str(tmp_path / "data"), "NCANDA", ("T1", "T2"),
+                           "z-score", n_subj=6, shape=(32, 64, 16),
+                           slice_range=(4, 12))
+    d = dict(phase="train", load_yaml=False, epochs=1,
+             dataset_name="NCANDA", contrast_list=["T1", "T2"],
+             norm_type="z-score", block_size=3,
+             data_path=str(tmp_path / "data") + "/", batch_size=4,
+             num_fold=5, fold=0, shuffle=True, lr=2e-4, p=1,
+             model_name="MultimodalModel", s_num_ch=4, z_size=16,
+             lambda_recon_x=1.0, lambda_recon_x_mix=2.0, lambda_sim_s=10.0,
+             lambda_sim_z=2.0, lambda_latent_z=0.1,
+             others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                     "old": False, "softmax_remove_mask": True},
+             out_num_ch=1, input_height=32, input_width=64,
+             fuse_method="mean", target_model_name="U",
+             effective_batch=4, log_every=0, use_pallas=False)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(d))
+    main([str(cfg_path), "--ckpt-root", str(tmp_path / "ckpt")])
+    run = os.listdir(tmp_path / "ckpt" / "NCANDA" / "MultimodalModel")[0]
+
+    d.update(phase="test", ckpt_timelabel=run)
+    cfg_path.write_text(yaml.dump(d))
+    stat = main([str(cfg_path), "--ckpt-root", str(tmp_path / "ckpt")])
+    assert np.isfinite(stat["recon_x_mix"]) and np.isfinite(stat["psnr"])
