@@ -99,12 +99,14 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     # synchronization (measured 70x discrepancy), so every timing window
     # ends with np.asarray of the result.
     sync = lambda a: np.asarray(a)
-    flops_per_step = _step_flops(
-        train_step, state, stacked, rngs, pairs(), pairs(),
-        jnp.float32(cfg.lr), first_of_epoch=False)
     state, m = train_step(state, stacked, rngs, pairs(), pairs(),
                           jnp.float32(cfg.lr), first_of_epoch=False)
     sync(m)
+    # AFTER the warmup dispatch: the persistent compile cache then serves
+    # the cost-analysis lower().compile() from disk instead of recompiling
+    flops_per_step = _step_flops(
+        train_step, state, stacked, rngs, pairs(), pairs(),
+        jnp.float32(cfg.lr), first_of_epoch=False)
     # best-of-3 windows: the shared TPU tunnel adds run-to-run noise
     best_dt = float("inf")
     for _ in range(3):
@@ -221,13 +223,17 @@ def main():
                          "bench (bf16 + loop decoders fit in HBM; +26% "
                          "measured without it)")
     ap.add_argument("--batch", type=int, default=None,
-                    help="per-step microbatch size (default 8)")
+                    help="per-step microbatch size (default 16: one "
+                         "microbatch — same optimizer semantics as the "
+                         "reference's accumulated effective batch 16)")
     ap.add_argument("--effective", type=int, default=None,
                     help="effective batch via grad accumulation (default 16)")
     args = ap.parse_args()
 
     if args.smoke:
-        h, w, contrasts, bs, eb = 32, 64, ("T1", "T2"), 2, 4
+        h, w, contrasts = 32, 64, ("T1", "T2")
+        bs = args.batch or 2
+        eb = args.effective or max(4, bs)
         steps = args.steps or 2
     else:
         h, w = 160, 192
@@ -285,6 +291,9 @@ def main():
                   f"(effective {eb})",
         "device": str(jax.devices()[0]),
         "baseline_train_slices_per_sec": baseline,
+        "baseline_config": "torch reference at ITS shipped batch 8 "
+                           "(config.yaml:17), host CPU; ours at the best "
+                           "semantically-identical config (effective 16)",
     }
     print(json.dumps(result))
 

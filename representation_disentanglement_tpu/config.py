@@ -188,6 +188,18 @@ class Config:
                 "indexes channels 1-3)")
         if self.fuse_method not in ("mean", "max", "mean-max-min"):
             errs.append(f"unknown fuse_method {self.fuse_method!r}")
+        if self.s_sim_method not in ("cosine", "perceptual"):
+            errs.append(
+                f"unknown s_sim_method {self.s_sim_method!r} (the reference "
+                "silently falls into its perceptual branch for any "
+                "non-'cosine' value, model.py:3496-3532; rejected here)")
+        if self.s_compact_method not in ("max", "mean", "vgg"):
+            errs.append(
+                f"unknown s_compact_method {self.s_compact_method!r} (the "
+                "reference silently falls into its vgg branch, "
+                "model.py:3469-3475; rejected here)")
+        if self.z_sim_method not in ("cosine", "mse"):
+            errs.append(f"unknown z_sim_method {self.z_sim_method!r}")
         if (self.s_sim_method == "perceptual"
                 or self.s_compact_method == "vgg"):
             if not self.vgg_npz:

@@ -257,6 +257,8 @@ def similarity_s_loss(s: jnp.ndarray, mask: jnp.ndarray, pair: jnp.ndarray,
                                     vgg_ctx["pre_bias"],
                                     vgg_ctx["vgg_params"])
         return jnp.where(jnp.sum(mask_mix) > 0, -sim, 0.0)
+    if sim_method != "cosine":
+        raise ValueError(f"unknown s_sim_method {sim_method!r}")
     si_c = compact_s(si, compact_method, vgg_ctx)
     sj_c = compact_s(sj, compact_method, vgg_ctx)
     si_perm_c = compact_s(si_perm, compact_method, vgg_ctx)

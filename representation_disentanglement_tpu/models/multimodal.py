@@ -182,11 +182,14 @@ class MultimodalModel(nn.Module):
             # weights themselves are loss-side constants (cfg.vgg_npz), not
             # model params.  Declared via self.param so they exist in the
             # tree even though the loss consumes them outside apply().
+            from representation_disentanglement_tpu.models.layers import (
+                torch_conv_bias_init_factory, torch_conv_kernel_init)
             self.vgg_pre_kernel = self.param(
-                "vgg_pre_kernel", nn.initializers.lecun_normal(),
+                "vgg_pre_kernel", torch_conv_kernel_init,
                 (3, 3, self.s_num_ch, 3))
             self.vgg_pre_bias = self.param(
-                "vgg_pre_bias", nn.initializers.zeros, (3,))
+                "vgg_pre_bias",
+                torch_conv_bias_init_factory(9 * self.s_num_ch), (3,))
 
     # ------------------------------------------------------------------
     def _types(self) -> jnp.ndarray:

@@ -41,14 +41,22 @@ LOSS_KEYS = ("recon_y", "recon_y_fused", "recon_x", "recon_x_mix", "kl",
              "latent_z", "sim_s", "sim_z", "adv_s", "adv_s_d", "all")
 
 
+@functools.lru_cache(maxsize=2)
+def _vgg_constants_cached(npz_path: str):
+    from representation_disentanglement_tpu.models.vgg import load_vgg_npz
+    return {k: jnp.asarray(v) for k, v in load_vgg_npz(npz_path).items()}
+
+
 def load_vgg_constants(cfg):
     """Frozen VGG16 feature weights for the perceptual / vgg-compact sim-s
     paths (ref loads pretrained torchvision VGG16, src/model.py:2945-2949).
-    Returns None when the config doesn't use them."""
+    Returns None when the config doesn't use them.  Cached per path so the
+    train/epoch/eval/retrieval consumers share one host load + upload
+    (the ~59MB of weights do still get embedded as constants in each jitted
+    executable that closes over them — acceptable for the gated configs)."""
     if cfg.s_sim_method != "perceptual" and cfg.s_compact_method != "vgg":
         return None
-    from representation_disentanglement_tpu.models.vgg import load_vgg_npz
-    return {k: jnp.asarray(v) for k, v in load_vgg_npz(cfg.vgg_npz).items()}
+    return _vgg_constants_cached(cfg.vgg_npz)
 
 
 def make_vgg_ctx(params, vgg_constants):
