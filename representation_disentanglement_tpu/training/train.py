@@ -148,12 +148,15 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, Any]:
-    variables = model.init(
-        {"params": rng}, sample_batch["inputs"], sample_batch["mask"],
+    # jit the whole init: unjitted flax init runs op-by-op, which costs one
+    # backend compilation per op (hundreds of round trips through a remote-
+    # compile tunnel); one traced program initializes in a single compile
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, sample_batch["inputs"], sample_batch["mask"],
         sample_batch["mask_img"], jax.random.PRNGKey(0), train=False,
         # the discriminator branch only runs when a pair is given, so the
         # adversarial config must init with one or discrim params are missing
-        adv_pair=jnp.asarray([0, 1]) if cfg.is_discrim_s else None)
+        adv_pair=jnp.asarray([0, 1]) if cfg.is_discrim_s else None))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = adam_amsgrad_torch(weight_decay=cfg.weight_decay)

@@ -52,11 +52,13 @@ def test_recon_x_parity(rng, ref_losses):
 def test_recon_x_mix_parity(rng, ref_losses):
     gt = rng.normal(size=(M, B, C, H, W)).astype(np.float32)
     grid = rng.normal(size=(M, M, B, C, H, W)).astype(np.float32)
-    # no all-absent column: an empty pair-product triggers a reference bug
+    # no empty PAIR product: an empty m_i*m_j triggers a reference bug
     # (x_list index misalignment, src/model.py:3335-3338) that we fix —
-    # see losses.recon_loss_x_mix docstring
+    # see losses.recon_loss_x_mix docstring.  Row 0 fully present makes
+    # every pair product nonempty regardless of the rng stream position
+    # (the shared session rng makes per-test draws order-dependent).
     mask = _mask(rng)
-    mask[:2, 2] = 1.0
+    mask[0, :] = 1.0
     x_list = [torch.tensor(grid[i, j]) for i in range(M) for j in range(M)
               if i != j]
     want = ref_losses.compute_recon_loss_x_mix_list(
