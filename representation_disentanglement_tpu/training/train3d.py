@@ -29,7 +29,9 @@ class Train3DState(NamedTuple):
 
 def create_state_3d(model: NVNet3D, rng, sample_inputs,
                     weight_decay: float = 1e-5):
-    variables = model.init({"params": rng}, sample_inputs, train=False)
+    # one jitted init = one backend compile instead of one per op
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, sample_inputs, train=False))(rng)
     tx = adam_amsgrad_torch(weight_decay=weight_decay)
     return Train3DState(variables["params"], tx.init(variables["params"]),
                         jnp.zeros([], jnp.int32)), tx
