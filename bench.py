@@ -118,22 +118,26 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         best_dt = min(best_dt, time.perf_counter() - t0)
     train_sps = steps * effective_batch / best_dt
 
-    # inference (eval forward with y decode, z = mean)
-    @jax.jit
-    def eval_fwd(params, bstats, b):
-        out = model.apply({"params": params, "batch_stats": bstats},
-                          b["inputs"], b["mask"], b["mask_img"], None,
-                          train=False, compute_y=True, latent_cycle=False)
-        return out["x_fake_grid"], out["y_fake_fused"]
+    # inference: the REAL eval path (training/evaluate.make_eval_step) —
+    # compute_dtype cast, full forward incl. y decode, loss vector and
+    # per-sample metrics on device; the per-batch fetch is the stacked
+    # metric matrix only (what evaluate() fetches per batch)
+    from representation_disentanglement_tpu.training.evaluate import \
+        make_eval_step
+    eval_step, _, _ = make_eval_step(model, cfg)
+    ebatch = {k: batch[k] for k in ("inputs", "targets", "mask", "mask_img")}
+    pair = jnp.asarray([0, 1], jnp.int32)
 
-    o = eval_fwd(state.params, state.batch_stats, batch)
-    sync(o[1])
+    o = eval_step(state.params, state.batch_stats, ebatch, pair, pair,
+                  compute_y=True)
+    sync(o[2])
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
-            o = eval_fwd(state.params, state.batch_stats, batch)
-        sync(o[1])
+            o = eval_step(state.params, state.batch_stats, ebatch, pair,
+                          pair, compute_y=True)
+        sync(o[2])
         best_dt = min(best_dt, time.perf_counter() - t0)
     infer_sps = steps * batch_size / best_dt
     from representation_disentanglement_tpu.training.train import \

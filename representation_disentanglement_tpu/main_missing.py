@@ -175,7 +175,7 @@ def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
 
         stat = evaluate(model, state.params, state.batch_stats, cfg,
                         val_loader, phase="val", set_name="val",
-                        save_res=False, eval_steps=eval_steps)
+                        save_res=False, eval_steps=eval_steps, mesh=mesh)
         if cfg.lambda_recon_y == 0 or cfg.lambda_recon_y_fused == 0:
             monitor = stat["recon_x_mix"]
         else:
@@ -269,7 +269,7 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
 
         stat = evaluate(model, state.params, state.batch_stats, cfg,
                         val_loader, phase="val", set_name="val",
-                        save_res=False, eval_steps=eval_steps)
+                        save_res=False, eval_steps=eval_steps, mesh=mesh)
         # monitor metric selection (src/main_missing.py:317-320)
         if cfg.lambda_recon_y == 0 or cfg.lambda_recon_y_fused == 0:
             monitor = stat["recon_x_mix"]
@@ -391,7 +391,7 @@ def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
         loader, set_name = loaders[2], "test"
     stat = evaluate(model, state.params, state.batch_stats, cfg, loader,
                     phase="test", set_name=set_name, save_res=True,
-                    info=eval_info)
+                    info=eval_info, mesh=mesh)
     print(stat)
     return stat
 

@@ -56,10 +56,14 @@ def ssim_single(target: jnp.ndarray, pred: jnp.ndarray, data_range,
 
 
 @jax.jit
-def _recon_metrics_batch(target: jnp.ndarray, pred: jnp.ndarray):
+def recon_metrics_device(target: jnp.ndarray, pred: jnp.ndarray):
     """Per-slice (ssim, psnr, rmse) for [B, H, W] channel-0 slices,
     replicating compute_reconstruction_metrics_single (src/util.py:955-978):
-    shift both by their own min, data_range = shifted target max."""
+    shift both by their own min, data_range = shifted target max.
+
+    Stays on device — the eval loop fetches only the [3, B] result instead
+    of the full prediction tensors (the reference syncs GPU->CPU numpy per
+    batch for skimage, src/main_missing.py:519-534)."""
     def one(t, p):
         t = t - jnp.min(t)
         p = p - jnp.min(p)
@@ -68,6 +72,30 @@ def _recon_metrics_batch(target: jnp.ndarray, pred: jnp.ndarray):
         psnr = 10.0 * jnp.log10(jnp.square(rng) / mse)
         ssim = ssim_single(t, p, rng)
         return ssim, psnr, mse
+    return jax.vmap(one)(target.astype(jnp.float32), pred.astype(jnp.float32))
+
+
+_recon_metrics_batch = recon_metrics_device    # back-compat alias
+
+
+@jax.jit
+def seg_metrics_device(target: jnp.ndarray, pred: jnp.ndarray):
+    """Per-sample (dice, iou) over classes 1-3 with +1 smoothing and 0.5
+    prediction threshold (src/util.py:946-953, 980-992), on device.
+
+    target: [B, H, W] integer-ish labels; pred: [B, H, W, >=3] where channel
+    i corresponds to class i+1 (the reference indexes pred[i]).  All counts
+    are exact in float32 (< 2^24 pixels per slice)."""
+    def one(t, p):
+        dl, il = [], []
+        for i in range(3):
+            gt_i = (t == (i + 1)).astype(jnp.float32)
+            pr_i = (p[..., i] > 0.5).astype(jnp.float32)
+            inter = jnp.sum(gt_i * pr_i)
+            union = jnp.sum(jnp.maximum(gt_i, pr_i))
+            dl.append((2.0 * inter + 1) / (jnp.sum(gt_i) + jnp.sum(pr_i) + 1))
+            il.append((inter + 1) / (union + 1))
+        return jnp.mean(jnp.stack(dl)), jnp.mean(jnp.stack(il))
     return jax.vmap(one)(target.astype(jnp.float32), pred.astype(jnp.float32))
 
 

@@ -26,8 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from representation_disentanglement_tpu import losses as L
-from representation_disentanglement_tpu.metrics import (
-    compute_reconstruction_metrics, compute_segmentation_metrics)
 from representation_disentanglement_tpu.training.train import (
     LOSS_KEYS, assemble_losses, load_vgg_constants, make_vgg_ctx)
 
@@ -43,12 +41,58 @@ def _nchw(a: np.ndarray) -> np.ndarray:
 
 
 def make_eval_step(model, cfg):
+    """Build the jitted eval step with the same TPU discipline as training:
+
+    - inputs cast to ``cfg.compute_dtype`` (mirrors train.py's cast),
+    - the 11 loss scalars returned as ONE stacked vector (one fetch per
+      batch instead of 11 host<->device roundtrips, the pathology the
+      reference has at src/main_missing.py:253-263),
+    - PSNR/SSIM/MSE or Dice/IoU computed ON DEVICE per sample
+      (metrics.recon_metrics_device / seg_metrics_device) so the full
+      prediction grid is never fetched unless the caller dumps results.
+    """
+    M = cfg.modality_num
     needs_y = cfg.lambda_recon_y > 0 or cfg.lambda_recon_y_fused > 0
     vgg_constants = load_vgg_constants(cfg)
+    cast = (lambda b: dict(b, inputs=b["inputs"].astype(jnp.bfloat16))) \
+        if cfg.compute_dtype == "bfloat16" else (lambda b: b)
+
+    # which metric family applies (src/main_missing.py:519-534)
+    if cfg.lambda_recon_y == 0 and cfg.lambda_recon_y_fused == 0:
+        metric_names = ("ssim", "psnr", "rmse")          # on mix recon
+    elif cfg.dataset_name == "BraTS":
+        metric_names = ("dice", "iou")                   # on fused y
+    else:
+        metric_names = ("ssim", "psnr", "rmse")          # on fused y
+
+    from representation_disentanglement_tpu.metrics import (
+        recon_metrics_device, seg_metrics_device)
+
+    def device_metrics(batch, out):
+        """-> [n_metrics, n_samples] per-sample metric matrix on device."""
+        if cfg.lambda_recon_y == 0 and cfg.lambda_recon_y_fused == 0:
+            # recon metrics on the mix reconstructions, channel 0, in the
+            # reference's i-major j != i order
+            grid = out["x_fake_grid"]
+            gts = jnp.concatenate(
+                [batch["inputs"][j, ..., 0] for i in range(M)
+                 for j in range(M) if i != j], 0)
+            preds = jnp.concatenate(
+                [grid[i, j, ..., 0] for i in range(M)
+                 for j in range(M) if i != j], 0)
+            return jnp.stack(recon_metrics_device(gts, preds))
+        yf = out["y_fake_fused"]
+        tgt = batch["targets"][..., 0]
+        if cfg.dataset_name == "BraTS":
+            # reference indexes pred[i] for class i+1: its 4-ch logits'
+            # channels 1..3 -> our channels 1..3 of NHWC
+            return jnp.stack(seg_metrics_device(tgt, yf[..., 1:]))
+        return jnp.stack(recon_metrics_device(tgt, yf[..., 0]))
 
     @functools.partial(jax.jit, static_argnames=("compute_y",))
     def eval_step(params, batch_stats, batch, sim_pair, adv_pair,
                   compute_y: bool = True):
+        batch = cast(batch)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["inputs"], batch["mask"], batch["mask_img"], None,
@@ -58,7 +102,9 @@ def make_eval_step(model, cfg):
         l = assemble_losses(cfg, batch, out, sim_pair, adv_pair,
                             out.get("d_logits"),
                             vgg_ctx=make_vgg_ctx(params, vgg_constants))
-        return out, l
+        loss_vec = jnp.stack([l[k] for k in LOSS_KEYS])
+        metric_mat = device_metrics(batch, out)
+        return out, loss_vec, metric_mat
 
     @jax.jit
     def decode_with_z(params, batch_stats, s, z_find):
@@ -67,7 +113,7 @@ def make_eval_step(model, cfg):
             {"params": params, "batch_stats": batch_stats}, s, z_find,
             method=model.decode_inputs_grid)
 
-    return eval_step, decode_with_z
+    return eval_step, decode_with_z, metric_names
 
 
 def _mix_views(grid: np.ndarray):
@@ -79,14 +125,24 @@ def _mix_views(grid: np.ndarray):
 def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
              set_name="val", save_res=False, info="",
              sim_rng: Optional[np.random.Generator] = None,
-             eval_steps=None) -> Dict[str, float]:
+             eval_steps=None, mesh=None) -> Dict[str, float]:
+    """Evaluation loop.  With ``mesh`` (a data-parallel ``jax.sharding.Mesh``)
+    each batch's sample axis is sharded over the mesh and params replicated,
+    so per-epoch validation under ``mesh_shape: {data: N}`` uses every chip
+    the training loop does."""
     if h5py is None and (save_res or info in ("nearest_neighbour", "mean")):
         raise ImportError("h5py required for result dumps / retrieval")
-    eval_step, decode_with_z = eval_steps or make_eval_step(model, cfg)
+    eval_step, decode_with_z, metric_names = \
+        eval_steps or make_eval_step(model, cfg)
     sim_rng = sim_rng or np.random.default_rng(10)
     M = cfg.modality_num
+    if mesh is not None:
+        from representation_disentanglement_tpu.parallel.mesh import (
+            replicate, shard_batch)
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
 
-    loss_sums = {k: 0.0 for k in LOSS_KEYS}
+    loss_sums = np.zeros(len(LOSS_KEYS), np.float64)
     metrics_acc: Dict[str, list] = {}
     dump: Dict[str, list] = {k: [] for k in (
         "subj_id", "slice_idx", "inputs", "targets", "mask", "y_fake_fused",
@@ -127,8 +183,10 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
         adv_pair = jnp.asarray(draw_pairs(sim_rng, M, 1)[0])
         jb = {k: batch[k] for k in
               ("inputs", "targets", "mask", "mask_img")}
-        out, l = eval_step(params, batch_stats, jb, sim_pair, adv_pair,
-                           compute_y=(it == 0))
+        if mesh is not None and np.shape(jb["mask"])[0] % mesh.size == 0:
+            jb = shard_batch(jb, mesh)
+        out, loss_vec, metric_mat = eval_step(
+            params, batch_stats, jb, sim_pair, adv_pair, compute_y=(it == 0))
 
         z_find = None
         if retrieval:
@@ -152,30 +210,30 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
             grid = decode_with_z(params, batch_stats, out["s"], z_find)
             out = dict(out, x_fake_grid=grid)
 
-        for k in LOSS_KEYS:
-            loss_sums[k] += float(l[k])
-
-        # ---- metrics (src/main_missing.py:519-534) ----
-        grid_np = np.asarray(out["x_fake_grid"], np.float32)
-        if cfg.lambda_recon_y == 0 and cfg.lambda_recon_y_fused == 0:
-            gts = np.concatenate(
-                [np.asarray(jb["inputs"][j]) for i in range(M)
+        if z_find is not None and cfg.lambda_recon_y == 0 \
+                and cfg.lambda_recon_y_fused == 0:
+            # retrieval replaced the grid: recompute the mix-recon metrics
+            # on device from the re-decoded grid (src/main_missing.py:519-527
+            # evaluates whatever xi_fake_mix the retrieval path produced)
+            from representation_disentanglement_tpu.metrics import \
+                recon_metrics_device
+            grid = out["x_fake_grid"]
+            gts = jnp.concatenate(
+                [jb["inputs"][j, ..., 0] for i in range(M)
                  for j in range(M) if i != j], 0)
-            preds = np.concatenate(_mix_views(grid_np), 0)
-            m = compute_reconstruction_metrics(gts, preds)
-        else:
-            tgt = np.asarray(jb["targets"])
-            yf = np.asarray(out["y_fake_fused"], np.float32)
-            if cfg.dataset_name == "BraTS":
-                # reference indexes pred[i] for class i+1: its 4-ch logits'
-                # channels 1..3 -> our channels 1..3 of NHWC
-                m = compute_segmentation_metrics(tgt, yf[..., 1:])
-            else:
-                m = compute_reconstruction_metrics(tgt, yf)
-        for k, v in m.items():
-            metrics_acc.setdefault(k, []).extend(v)
+            preds = jnp.concatenate(
+                [grid[i, j, ..., 0] for i in range(M)
+                 for j in range(M) if i != j], 0)
+            metric_mat = jnp.stack(recon_metrics_device(gts, preds))
+
+        # two small fetches per batch (11-loss vector + per-sample metric
+        # matrix); prediction tensors stay on device unless dumping
+        loss_sums += np.asarray(loss_vec, np.float64)
+        for k, row in zip(metric_names, np.asarray(metric_mat, np.float32)):
+            metrics_acc.setdefault(k, []).extend(row.astype(float).tolist())
 
         if phase == "test" and save_res:
+            grid_np = np.asarray(out["x_fake_grid"], np.float32)
             B = np.asarray(jb["targets"]).shape[0]
             inp = np.asarray(jb["inputs"])                 # [M,B,H,W,Cb]
             dump["inputs"].append(
@@ -209,7 +267,8 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
         if it > cfg.eval_max_iters - 1:                 # main_missing.py:561
             break
 
-    stat = {k: v / max(n_iter, 1) for k, v in loss_sums.items()}
+    stat = {k: float(v) / max(n_iter, 1)
+            for k, v in zip(LOSS_KEYS, loss_sums)}
     for k, v in metrics_acc.items():
         stat[k] = float(np.mean(v))
 

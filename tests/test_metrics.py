@@ -56,3 +56,26 @@ def test_segmentation_metrics():
     np.testing.assert_allclose(got["iou"][0], 1.0)
     # sample 1: all empty -> smoothed to 1
     np.testing.assert_allclose(got["dice"][1], 1.0)
+
+
+def test_seg_metrics_device_matches_numpy(rng):
+    """On-device Dice/IoU (eval hot path) == the numpy reference wrapper."""
+    from representation_disentanglement_tpu.metrics import seg_metrics_device
+    t = rng.integers(0, 4, size=(4, 16, 16, 1)).astype(np.float32)
+    p = rng.uniform(0, 1, size=(4, 16, 16, 3)).astype(np.float32)
+    want = compute_segmentation_metrics(t, p)
+    dice, iou = (np.asarray(a) for a in seg_metrics_device(t[..., 0], p))
+    np.testing.assert_allclose(dice, want["dice"], rtol=1e-6)
+    np.testing.assert_allclose(iou, want["iou"], rtol=1e-6)
+
+
+def test_recon_metrics_device_matches_numpy(rng):
+    from representation_disentanglement_tpu.metrics import (
+        recon_metrics_device)
+    t = rng.normal(size=(3, 40, 56)).astype(np.float32)
+    p = (t + 0.2 * rng.normal(size=t.shape)).astype(np.float32)
+    want = compute_reconstruction_metrics(t[..., None], p[..., None])
+    ssim, psnr, mse = (np.asarray(a) for a in recon_metrics_device(t, p))
+    np.testing.assert_allclose(ssim, want["ssim"], rtol=1e-5)
+    np.testing.assert_allclose(psnr, want["psnr"], rtol=1e-5)
+    np.testing.assert_allclose(mse, want["rmse"], rtol=1e-5)

@@ -127,3 +127,37 @@ def test_dp_grads_match_single_device(rng):
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_sharded_eval_matches_single_device(rng, tmp_path):
+    """evaluate(mesh=...) shards the eval batch over the data mesh and must
+    produce the same stats as the single-device path (VERDICT r2 item 2:
+    DP validation uses the mesh)."""
+    from tests.test_train import synth_batch, tiny_cfg
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.evaluate import evaluate
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    cfg = tiny_cfg(batch_size=8, effective_batch=8)
+    cfg.ckpt_path = str(tmp_path)
+    model = build_model(cfg)
+    b0 = synth_batch(cfg, rng)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), b0)
+    batch = synth_batch(cfg, rng)
+
+    class OneBatchLoader:
+        def __iter__(self):
+            yield dict(batch, subj_id=["s"] * cfg.batch_size,
+                       slice_idx=np.arange(cfg.batch_size))
+
+    st1 = evaluate(model, state.params, state.batch_stats, cfg,
+                   OneBatchLoader(), phase="val", set_name="val")
+    mesh = make_mesh(8)
+    st2 = evaluate(model, state.params, state.batch_stats, cfg,
+                   OneBatchLoader(), phase="val", set_name="val", mesh=mesh)
+    assert set(st1) == set(st2)
+    for k in st1:
+        np.testing.assert_allclose(st2[k], st1[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
