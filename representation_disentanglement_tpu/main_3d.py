@@ -64,7 +64,13 @@ def main(argv=None):
     ap.add_argument("--slab-start", type=int, default=None,
                     help="first slab slice (default 45, the reference's)")
     ap.add_argument("--depth-shards", type=int, default=0,
-                    help="eval with the depth axis sharded over N devices")
+                    help="shard the volume depth axis over N devices for "
+                         "BOTH training (shard_map + halo exchange) and eval")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step "
+                         "(unsharded training only)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume params/opt-state/epoch from --ckpt-dir")
     ap.add_argument("--ckpt-dir", default="../ckpt3d")
     args = ap.parse_args(argv)
 
@@ -95,29 +101,75 @@ def main(argv=None):
     sample = next(volume_loader(train_ds, args.batch_size, False)())
     state, tx = create_state_3d(model, jax.random.PRNGKey(10),
                                 jnp.asarray(sample["inputs"]))
-    step = make_train_step_3d(model, tx)
+    mesh = None
+    if args.depth_shards > 1:
+        from representation_disentanglement_tpu.parallel.halo import (
+            make_depth_mesh)
+        from representation_disentanglement_tpu.training.train3d import (
+            make_sharded_train_step_3d)
+        if D % args.depth_shards or (D // 16) % args.depth_shards:
+            raise ValueError(
+                f"depth {D} and {D}//16 must divide by --depth-shards "
+                f"{args.depth_shards} (parallel/halo.py constraints)")
+        mesh = make_depth_mesh(args.depth_shards)
+        print(f"[mesh] depth-sharded training over {mesh.devices.size} "
+              f"devices (halo-exchange convs, psum'd loss reductions)")
+        step = make_sharded_train_step_3d(model, tx, mesh)
+    else:
+        step = make_train_step_3d(model, tx, accum=args.accum)
     eval_step = make_eval_step_3d(model)
+
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    start_epoch = 0
+    if args.resume:
+        from flax import serialization
+        from representation_disentanglement_tpu.training.checkpoint import (
+            load_partial_params)
+        ckpt = load_checkpoint(args.ckpt_dir)
+        params, n_res, n_tot = load_partial_params(state.params,
+                                                   ckpt.get("params"))
+        print(f"[resume] restored {n_res}/{n_tot} param tensors")
+        opt_state = state.opt_state
+        if "opt_state" in ckpt and n_res == n_tot:
+            try:
+                opt_state = serialization.from_state_dict(
+                    state.opt_state, ckpt["opt_state"])
+            except Exception:
+                print("loading optimizer failed!")
+        state = state._replace(params=params, opt_state=opt_state)
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        print(f"[resume] from epoch {start_epoch}")
 
     os.makedirs(args.ckpt_dir, exist_ok=True)
     key = jax.random.PRNGKey(10)
-    for epoch in range(args.epochs):
+    best = float("inf")
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
+        micro = []
         for batch in volume_loader(train_ds, args.batch_size, True,
                                    seed=10 + epoch)():
-            key, sub = jax.random.split(key)
             jb = {"inputs": jnp.asarray(batch["inputs"]),
                   "targets": jnp.asarray(batch["targets"])}
+            if mesh is None and args.accum > 1:
+                micro.append(jb)
+                if len(micro) < args.accum:
+                    continue
+                jb = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+                micro = []
+            key, sub = jax.random.split(key)
             state, m = step(state, jb, sub, jnp.float32(args.lr))
             losses.append(float(m["loss"]))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        print(f"epoch {epoch}: loss {mean_loss:.4f} "
               f"({time.time() - t0:.1f}s, {len(losses)} steps)")
-        from representation_disentanglement_tpu.training.checkpoint import (
-            save_checkpoint)
+        is_best = mean_loss <= best
+        best = min(best, mean_loss)
         save_checkpoint({"epoch": epoch, "params": state.params,
                          "opt_state": state.opt_state,
-                         "monitor_metric": float(np.mean(losses)),
-                         "stat": {}}, True, args.ckpt_dir)
+                         "monitor_metric": mean_loss,
+                         "stat": {}}, is_best, args.ckpt_dir)
 
     # eval (optionally depth-sharded)
     if args.depth_shards > 1:

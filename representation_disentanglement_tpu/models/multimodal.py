@@ -144,12 +144,14 @@ class MultimodalModel(nn.Module):
                          output_activation=self.input_output_act)
             if self.notshared_impl == "loop":
                 # M separate halves, each running dense convs on the
-                # [M_j * B] batch — no feature-grouped lowering.  Pallas
-                # interior stays off here: the full/half-res slabs exceed
-                # the kernel's VMEM scoping in this half.
+                # [M_j * B] batch — no feature-grouped lowering.  The fused
+                # Pallas interior runs here too via the packed-lane kernel
+                # (ops/pallas_kernels._packed_call): C = 64/32/16 slabs are
+                # viewed as [H, W*C] so the lane dim isn't padded to 128,
+                # which is what used to overflow VMEM in this half.
                 self.input_decoder_notshared = [
                     SPADENotShared(name=f"input_decoder_notshared_{i}",
-                                   **ns_kw, **dict(dec_kw, use_pallas=False))
+                                   **ns_kw, **dec_kw)
                     for i in range(M)]
             else:
                 # one not-shared half per modality, vmapped over the params
@@ -227,6 +229,12 @@ class MultimodalModel(nn.Module):
         """
         M = self.modality_num
         types = self._types()                                # [M] = 1..M
+        # run the decoder z-stream in the compute dtype of the s-stream:
+        # z is sampled in f32 (sample_z), and without this cast the entire
+        # SPADE zi stream (ZScaler output + every block interior) silently
+        # runs f32 even under compute_dtype=bfloat16 — 2x the HBM traffic
+        # on the hottest stage.  No-op for the f32 config.
+        z = z.astype(s.dtype)
         s_pair = jnp.broadcast_to(s[:, None], (M,) + s.shape)    # [i, j, ...]
         z_pair = jnp.broadcast_to(z[None, :], (M,) + z.shape)    # [i, j, ...]
         types_pair = jnp.broadcast_to(types[None, :], (M, M))    # t[i,j]=1+j

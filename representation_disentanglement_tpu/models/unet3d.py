@@ -214,18 +214,30 @@ class NVNet3D(nn.Module):
 def nvnet_loss(uout, vout, mu, logvar, seg_target, x_input,
                kl_weight: float = 0.1, recon_weight: float = 0.1):
     """Standard Myronenko NVNet loss (the reference ships no 3D driver):
-    3-class soft dice on sigmoid(uout) + L2 VAE recon + KL."""
+    3-class soft dice on sigmoid(uout) + L2 VAE recon + KL.
+
+    Inside a ``depth_sharded`` scope (training under shard_map over the
+    depth mesh axis, parallel/halo.py) the dice numerator/denominator and
+    the recon mean reduce GLOBALLY via psum/pmean — dice is a ratio of
+    whole-volume sums, so per-shard dice would be wrong.  mu/logvar are
+    already replicated (global_mean3d pmeans inside the encoder)."""
+    from representation_disentanglement_tpu.ops.conv3d import (
+        current_depth_axis)
+    axis = current_depth_axis()
+    gsum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
+    gmean = (lambda v: jax.lax.pmean(v, axis)) if axis else (lambda v: v)
     p = jax.nn.sigmoid(uout.astype(jnp.float32))
     dice = 0.0
     for i in range(uout.shape[-1]):
         gt_i = (seg_target[..., 0] == i + 1).astype(jnp.float32)
-        num = 2.0 * jnp.sum(p[..., i] * gt_i)
-        den = jnp.sum(jnp.square(p[..., i]) + jnp.square(gt_i))
+        num = 2.0 * gsum(jnp.sum(p[..., i] * gt_i))
+        den = gsum(jnp.sum(jnp.square(p[..., i]) + jnp.square(gt_i)))
         dice += 1.0 - num / (den + 1e-6)
     dice = dice / uout.shape[-1]
-    n = x_input.size / x_input.shape[0]
-    recon = jnp.mean(jnp.square(vout.astype(jnp.float32)
-                                - x_input.astype(jnp.float32)))
+    n_shards = jax.lax.axis_size(axis) if axis else 1
+    n = x_input.size / x_input.shape[0] * n_shards     # global volume size
+    recon = gmean(jnp.mean(jnp.square(vout.astype(jnp.float32)
+                                      - x_input.astype(jnp.float32))))
     kl = jnp.mean(jnp.sum(
         jnp.exp(logvar) + jnp.square(mu) - 1.0 - logvar, axis=-1)) / n
     return dice + recon_weight * recon + kl_weight * kl, {

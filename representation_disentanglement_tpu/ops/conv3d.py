@@ -35,6 +35,12 @@ def depth_sharded(axis_name: str):
         _DEPTH_AXIS.reset(tok)
 
 
+def current_depth_axis() -> Optional[str]:
+    """The active depth-shard mesh axis, or None outside a
+    ``depth_sharded`` scope (used by shard-aware loss reductions)."""
+    return _DEPTH_AXIS.get()
+
+
 def _halo_exchange_d(x: jnp.ndarray, halo: int, axis_name: str):
     """Concatenate `halo` depth slices from each neighbor (zeros at the
     global volume boundary — ppermute leaves non-receivers zero-filled)."""

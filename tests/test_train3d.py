@@ -32,3 +32,46 @@ def test_train3d_loss_decreases(rng):
     probs, vout = ev(state.params, x)
     assert probs.shape == (2, D, H, W, 3)
     assert float(probs.min()) >= 0 and float(probs.max()) <= 1
+
+
+@pytest.mark.slow
+def test_train3d_grad_accumulation(rng):
+    """accum=2 over two microbatches == one step on the averaged gradient
+    of the same two batches (manual oracle)."""
+    from representation_disentanglement_tpu.models.unet3d import nvnet_loss
+    from representation_disentanglement_tpu.training.optim import (
+        clip_global_norm)
+
+    D, H, W = 16, 32, 32
+    model = NVNet3D(input_shape=(D, H, W), in_channels=2, out_channels=3,
+                    init_channels=8, dropout_p=0.0)
+    mk = lambda: {
+        "inputs": jnp.asarray(
+            rng.normal(size=(1, D, H, W, 2)).astype(np.float32)),
+        "targets": jnp.asarray(
+            rng.integers(0, 4, size=(1, D, H, W, 1)).astype(np.float32))}
+    b1, b2 = mk(), mk()
+    state, tx = create_state_3d(model, jax.random.PRNGKey(0), b1["inputs"])
+
+    # manual oracle: average of the two microbatch grads -> clip -> Adam
+    def loss_fn(params, batch, r):
+        uout, vout, mu, lv = model.apply({"params": params},
+                                         batch["inputs"], train=True, rng=r)
+        return nvnet_loss(uout, vout, mu, lv, batch["targets"],
+                          batch["inputs"])[0]
+
+    key = jax.random.PRNGKey(3)
+    r1, r2 = jax.random.split(key, 2)
+    g1 = jax.grad(loss_fn)(state.params, b1, r1)
+    g2 = jax.grad(loss_fn)(state.params, b2, r2)
+    g = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    g, _ = clip_global_norm(g, 1.0)
+    updates, _ = tx.update(g, state.opt_state, state.params,
+                           learning_rate=jnp.float32(1e-4))
+    want = jax.tree.map(jnp.add, state.params, updates)
+
+    step = make_train_step_3d(model, tx, donate=False, accum=2)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), b1, b2)
+    s2, m = step(state, stacked, key, jnp.float32(1e-4))
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

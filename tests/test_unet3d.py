@@ -162,3 +162,43 @@ def test_nvnet_loss_finite(rng):
     loss, aux = nvnet_loss(uout, vout, mu, lv, seg, x)
     assert np.isfinite(float(loss))
     assert float(aux["kl"]) == 0.0
+
+
+@pytest.mark.slow
+def test_depth_sharded_train_step_matches(rng):
+    """One OPTIMIZER STEP under 8-way depth sharding == the unsharded step
+    (VERDICT r2 item 4: depth-sharded 3D *training*, not just inference).
+    Exercises the halo-exchange transpose (grad of ppermute is ppermute),
+    the psum'd dice/recon reductions, and the grad psum assembly."""
+    from representation_disentanglement_tpu.parallel.halo import (
+        make_depth_mesh)
+    from representation_disentanglement_tpu.training.train3d import (
+        Train3DState, create_state_3d, make_sharded_train_step_3d,
+        make_train_step_3d)
+
+    Dd, Hh, Ww = 128, 16, 16
+    model = NVNet3D(input_shape=(Dd, Hh, Ww), in_channels=2, out_channels=3,
+                    init_channels=8, dropout_p=0.0)
+    x = jnp.asarray(rng.normal(size=(1, Dd, Hh, Ww, 2)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, 4, size=(1, Dd, Hh, Ww, 1)).astype(
+        np.float32))
+    batch = {"inputs": x, "targets": seg}
+    state, tx = create_state_3d(model, jax.random.PRNGKey(0), x)
+
+    step1 = make_train_step_3d(model, tx, donate=False)
+    s1, m1 = step1(state, batch, jax.random.PRNGKey(7), jnp.float32(1e-4))
+
+    mesh = make_depth_mesh(8)
+    step8 = make_sharded_train_step_3d(model, tx, mesh, donate=False)
+    s8, m8 = step8(state, batch, jax.random.PRNGKey(7), jnp.float32(1e-4))
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m8["dice_loss"]),
+                               float(m1["dice_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m8["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-3)
+    # post-Adam params: first step ~lr*sign(g); f32 reduction-order noise on
+    # near-zero grads can flip an element by up to 2*lr
+    for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
