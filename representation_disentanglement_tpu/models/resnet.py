@@ -78,11 +78,12 @@ def dump_torchvision_resnet18(npz_path: str) -> None:   # pragma: no cover
                           for k, v in m.state_dict().items()})
 
 
-def load_resnet18_params(sd: Dict[str, np.ndarray]):
+def load_resnet18_params(sd: Dict[str, np.ndarray], num_outputs: int = 1):
     """(params, batch_stats) for ResNet18 from a torchvision resnet18
     state_dict-style mapping (tensors or ndarrays).  The fc is taken only
-    when its shape matches num_outputs=1 (the reference replaces it,
-    src/model.py:1595)."""
+    when its shape matches ``num_outputs`` (default 1: the reference
+    replaces torchvision's 1000-way head, src/model.py:1595; pass 1000 to
+    keep the pretrained head for full-network parity checks)."""
     from representation_disentanglement_tpu.utils.transplant import (
         t2j_conv, t2j_linear, _np)
 
@@ -127,7 +128,7 @@ def load_resnet18_params(sd: Dict[str, np.ndarray]):
                     "var": _np(sd[f"{t}.downsample.1.running_var"])}
             params[j] = sub_p
             stats[j] = sub_s
-    if "fc.weight" in sd and _np(sd["fc.weight"]).shape[0] == 1:
+    if "fc.weight" in sd and _np(sd["fc.weight"]).shape[0] == num_outputs:
         params["fc"] = {"kernel": t2j_linear(_np(sd["fc.weight"])),
                         "bias": _np(sd["fc.bias"])}
     return params, stats

@@ -48,6 +48,7 @@ def _cfg(workdir, **kw):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_cli_train_then_test(workdir):
     from representation_disentanglement_tpu.main_missing import main
     cfg_path = _cfg(workdir, phase="train", ckpt_timelabel="run_e2e",
@@ -82,6 +83,7 @@ def test_cli_train_then_test(workdir):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_cli_zerodose_pet_synthesis(tmp_path):
     """ZeroDose PET synthesis e2e: y-losses on (recon_y/recon_y_fused
     through the FIXED per-sample fusion), monitor = recon_y_fused, recon
@@ -128,6 +130,7 @@ def test_cli_zerodose_pet_synthesis(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_cli_ncanda_cross_synthesis(tmp_path):
     """NCANDA T1/T2 e2e: the generic fold_<ds>_<fold>_<set>.txt dispatch
     (util.py:718-720) and the y-free disentanglement config (no target

@@ -56,6 +56,7 @@ def _train_losses(run_dir):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 @pytest.mark.parametrize("device_cache,mesh_n", [(True, 8), (False, 4)],
                          ids=["epoch-on-device-8way", "per-step-4way"])
 def test_cli_dp_matches_single_device(tmp_path, device_cache, mesh_n):

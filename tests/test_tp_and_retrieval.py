@@ -80,3 +80,43 @@ def test_retrieval_eval_e2e(tmp_path, rng):
         import h5py
         with h5py.File(out) as f:
             assert "z_list_find_all" in f
+
+
+@pytest.mark.slow
+def test_channel_sharded_train_step_matches(rng):
+    """TP TRAINING (VERDICT r2 item 5): one optimizer step with conv kernels
+    channel-sharded over the 8-way model mesh == the unsharded step.  Params
+    AND Adam state shard by output channel; XLA's SPMD partitioner inserts
+    the collectives for forward and gradient computation."""
+    from representation_disentanglement_tpu.models.unet3d import NVNet3D
+    from representation_disentanglement_tpu.parallel.tp import (
+        make_tp_mesh, shard_params_by_channel)
+    from representation_disentanglement_tpu.training.train3d import (
+        create_state_3d, make_train_step_3d)
+
+    D, H, W = 16, 32, 32
+    # init_channels=32: interior convs reach 256 output channels, where
+    # channel sharding is claimed to matter (SURVEY §2.7 TP row)
+    model = NVNet3D(input_shape=(D, H, W), in_channels=2, out_channels=3,
+                    init_channels=32, dropout_p=0.0)
+    x = jnp.asarray(rng.normal(size=(1, D, H, W, 2)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, 4, size=(1, D, H, W, 1)).astype(
+        np.float32))
+    batch = {"inputs": x, "targets": seg}
+    state, tx = create_state_3d(model, jax.random.PRNGKey(0), x)
+    step = make_train_step_3d(model, tx, donate=False)
+
+    s1, m1 = step(state, batch, jax.random.PRNGKey(7), jnp.float32(1e-4))
+
+    mesh = make_tp_mesh(8)
+    shard = lambda tree: shard_params_by_channel(tree, mesh)
+    state_tp = state._replace(params=shard(state.params),
+                              opt_state=shard(state.opt_state))
+    s2, m2 = step(state_tp, batch, jax.random.PRNGKey(7), jnp.float32(1e-4))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
