@@ -118,10 +118,34 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         best_dt = min(best_dt, time.perf_counter() - t0)
     train_sps = steps * effective_batch / best_dt
 
-    # inference: the REAL eval path (training/evaluate.make_eval_step) —
-    # compute_dtype cast, full forward incl. y decode, loss vector and
-    # per-sample metrics on device; the per-batch fetch is the stacked
-    # metric matrix only (what evaluate() fetches per batch)
+    # two inference numbers:
+    # - infer_sps: the product's synthesis forward (grid + y decode, z=mean,
+    #   no losses) in the compute dtype — the "missing-modality synthesis"
+    #   serving path;
+    # - val_sps: the REAL validation step (training/evaluate.make_eval_step):
+    #   full loss set + PSNR/SSIM/Dice on device, two small fetches/batch.
+    cast_in = (lambda b: dict(b, inputs=b["inputs"].astype(jnp.bfloat16))) \
+        if cfg.compute_dtype == "bfloat16" else (lambda b: b)
+
+    @jax.jit
+    def synth_fwd(params, bstats, b):
+        b = cast_in(b)
+        out = model.apply({"params": params, "batch_stats": bstats},
+                          b["inputs"], b["mask"], b["mask_img"], None,
+                          train=False, compute_y=True, latent_cycle=False)
+        return out["x_fake_grid"], out["y_fake_fused"]
+
+    o = synth_fwd(state.params, state.batch_stats, batch)
+    sync(o[1])
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            o = synth_fwd(state.params, state.batch_stats, batch)
+        sync(o[1])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    infer_sps = steps * batch_size / best_dt
+
     from representation_disentanglement_tpu.training.evaluate import \
         make_eval_step
     eval_step, _, _ = make_eval_step(model, cfg)
@@ -139,7 +163,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
                           pair, compute_y=True)
         sync(o[2])
         best_dt = min(best_dt, time.perf_counter() - t0)
-    infer_sps = steps * batch_size / best_dt
+    val_sps = steps * batch_size / best_dt
     from representation_disentanglement_tpu.training.train import \
         metrics_to_dict
     final_loss = metrics_to_dict(m)["all"] / n_micro
@@ -148,6 +172,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
         else 0.0
     mfu = tflops_achieved / _device_peak_tflops()
     return {"train_sps": train_sps, "infer_sps": infer_sps,
+            "val_sps": val_sps,
             "final_loss": final_loss, "flops_per_step": flops_per_step,
             "tflops_per_sec": tflops_achieved, "mfu": mfu}
 
@@ -287,6 +312,7 @@ def main():
         "unit": "slices/sec/chip",
         "vs_baseline": round(train_sps / baseline, 2) if baseline else None,
         "infer_slices_per_sec": round(infer_sps, 3),
+        "val_slices_per_sec": round(r["val_sps"], 3),
         "mfu": round(r["mfu"], 4),
         "tflops_per_sec": round(r["tflops_per_sec"], 2),
         "flops_per_step": r["flops_per_step"],

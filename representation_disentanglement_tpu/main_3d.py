@@ -111,6 +111,10 @@ def main(argv=None):
             raise ValueError(
                 f"depth {D} and {D}//16 must divide by --depth-shards "
                 f"{args.depth_shards} (parallel/halo.py constraints)")
+        if args.accum > 1:
+            raise ValueError("--accum is not supported together with "
+                             "--depth-shards (the sharded step takes one "
+                             "batch per optimizer step)")
         mesh = make_depth_mesh(args.depth_shards)
         print(f"[mesh] depth-sharded training over {mesh.devices.size} "
               f"devices (halo-exchange convs, psum'd loss reductions)")
@@ -122,11 +126,16 @@ def main(argv=None):
     from representation_disentanglement_tpu.training.checkpoint import (
         load_checkpoint, save_checkpoint)
     start_epoch = 0
+    resumed_monitor = float("inf")
     if args.resume:
+        import glob
         from flax import serialization
         from representation_disentanglement_tpu.training.checkpoint import (
             load_partial_params)
-        ckpt = load_checkpoint(args.ckpt_dir)
+        epochs = sorted(glob.glob(os.path.join(args.ckpt_dir,
+                                               "epoch*.ckpt")))
+        name = os.path.basename(epochs[-1]) if epochs else "model_best.ckpt"
+        ckpt = load_checkpoint(args.ckpt_dir, name)
         params, n_res, n_tot = load_partial_params(state.params,
                                                    ckpt.get("params"))
         print(f"[resume] restored {n_res}/{n_tot} param tensors")
@@ -139,11 +148,20 @@ def main(argv=None):
                 print("loading optimizer failed!")
         state = state._replace(params=params, opt_state=opt_state)
         start_epoch = int(ckpt.get("epoch", -1)) + 1
-        print(f"[resume] from epoch {start_epoch}")
+        # `best` tracks the best-so-far monitor (model_best.ckpt), which may
+        # be better than the latest epoch we resume the state from
+        try:
+            resumed_monitor = float(load_checkpoint(args.ckpt_dir).get(
+                "monitor_metric", float("inf")))
+        except ValueError:
+            resumed_monitor = float(ckpt.get("monitor_metric",
+                                             float("inf")))
+        print(f"[resume] from epoch {start_epoch} ({name}, "
+              f"best monitor {resumed_monitor:.4f})")
 
     os.makedirs(args.ckpt_dir, exist_ok=True)
     key = jax.random.PRNGKey(10)
-    best = float("inf")
+    best = resumed_monitor
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
@@ -161,7 +179,15 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             state, m = step(state, jb, sub, jnp.float32(args.lr))
             losses.append(float(m["loss"]))
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        if micro:
+            print(f"[accum] dropping {len(micro)} leftover microbatch(es) "
+                  f"at epoch end (epoch yielded a non-multiple of --accum)")
+            micro = []
+        if not losses:
+            raise ValueError(
+                f"no optimizer step ran in epoch {epoch}: fewer batches "
+                f"than --accum {args.accum}")
+        mean_loss = float(np.mean(losses))
         print(f"epoch {epoch}: loss {mean_loss:.4f} "
               f"({time.time() - t0:.1f}s, {len(losses)} steps)")
         is_best = mean_loss <= best
@@ -175,9 +201,14 @@ def main(argv=None):
     if args.depth_shards > 1:
         from representation_disentanglement_tpu.parallel.halo import (
             make_depth_mesh, sharded_nvnet_infer)
+        if args.accum > 1:
+            raise ValueError("--accum is not supported together with "
+                             "--depth-shards (the sharded step takes one "
+                             "batch per optimizer step)")
         mesh = make_depth_mesh(args.depth_shards)
         run = sharded_nvnet_infer(model, {"params": state.params}, mesh)
-        infer = lambda x: run(x)[0]
+        # sharded_nvnet_infer returns raw logits; match make_eval_step_3d
+        infer = lambda x: jax.nn.sigmoid(run(x)[0])
     else:
         infer = lambda x: eval_step(state.params, x)[0]
     dices = []

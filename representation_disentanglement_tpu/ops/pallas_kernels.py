@@ -284,9 +284,13 @@ def _in_modulate_bwd(eps, interpret, res, g):
     on_tpu = jax.default_backend() == "tpu"
     if gamma.shape == zi.shape and (on_tpu or interpret):
         kind = _dispatch(zi)
+        h, w, c = zi.shape[-3:]
         if kind == "packed":
             return _packed_bwd_call(zi, gamma, g, eps, interpret)
-        if kind == "slab":
+        # the backward holds more live f32 state than the forward (zi, g,
+        # zin, dzin, dz, dgamma ~ 6-7 slabs vs the forward's 4): require
+        # extra headroom before fusing, else fall through to the XLA math
+        if kind == "slab" and 7 * (4 * h * w * c) <= _VMEM_BUDGET:
             return _slab_bwd_call(zi, gamma, g, eps, interpret)
     z = zi.astype(jnp.float32)
     g32 = g.astype(jnp.float32)

@@ -69,18 +69,11 @@ def make_eval_step(model, cfg):
         recon_metrics_device, seg_metrics_device)
 
     def device_metrics(batch, out):
-        """-> [n_metrics, n_samples] per-sample metric matrix on device."""
+        """-> [n_metrics, n_samples] per-sample metric matrix on device.
+        `batch` must be the UNCAST batch: ground truth is scored at full
+        precision like the reference, even when the model runs bf16."""
         if cfg.lambda_recon_y == 0 and cfg.lambda_recon_y_fused == 0:
-            # recon metrics on the mix reconstructions, channel 0, in the
-            # reference's i-major j != i order
-            grid = out["x_fake_grid"]
-            gts = jnp.concatenate(
-                [batch["inputs"][j, ..., 0] for i in range(M)
-                 for j in range(M) if i != j], 0)
-            preds = jnp.concatenate(
-                [grid[i, j, ..., 0] for i in range(M)
-                 for j in range(M) if i != j], 0)
-            return jnp.stack(recon_metrics_device(gts, preds))
+            return mix_metric_mat(batch["inputs"], out["x_fake_grid"])
         yf = out["y_fake_fused"]
         tgt = batch["targets"][..., 0]
         if cfg.dataset_name == "BraTS":
@@ -92,14 +85,14 @@ def make_eval_step(model, cfg):
     @functools.partial(jax.jit, static_argnames=("compute_y",))
     def eval_step(params, batch_stats, batch, sim_pair, adv_pair,
                   compute_y: bool = True):
-        batch = cast(batch)
+        cb = cast(batch)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["inputs"], batch["mask"], batch["mask_img"], None,
+            cb["inputs"], cb["mask"], cb["mask_img"], None,
             train=False, compute_y=compute_y or needs_y,
             latent_cycle=cfg.lambda_latent_z > 0,
             adv_pair=adv_pair if cfg.is_discrim_s else None)
-        l = assemble_losses(cfg, batch, out, sim_pair, adv_pair,
+        l = assemble_losses(cfg, cb, out, sim_pair, adv_pair,
                             out.get("d_logits"),
                             vgg_ctx=make_vgg_ctx(params, vgg_constants))
         loss_vec = jnp.stack([l[k] for k in LOSS_KEYS])
@@ -114,6 +107,22 @@ def make_eval_step(model, cfg):
             method=model.decode_inputs_grid)
 
     return eval_step, decode_with_z, metric_names
+
+
+def mix_metric_mat(inputs, grid):
+    """Per-slice recon metrics over the mix reconstructions, channel 0, in
+    the reference's i-major j != i order (src/main_missing.py:519-527).
+    inputs: [M, B, H, W, Cb] full-precision ground truth;
+    grid: [M_i, M_j, B, H, W, Cb] decoded grid -> [3, M(M-1)*B]."""
+    from representation_disentanglement_tpu.metrics import (
+        recon_metrics_device)
+    M = grid.shape[0]
+    gts = jnp.concatenate(
+        [inputs[j, ..., 0] for i in range(M) for j in range(M) if i != j], 0)
+    preds = jnp.concatenate(
+        [grid[i, j, ..., 0] for i in range(M) for j in range(M) if i != j],
+        0)
+    return jnp.stack(recon_metrics_device(gts, preds))
 
 
 def _mix_views(grid: np.ndarray):
@@ -215,16 +224,7 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
             # retrieval replaced the grid: recompute the mix-recon metrics
             # on device from the re-decoded grid (src/main_missing.py:519-527
             # evaluates whatever xi_fake_mix the retrieval path produced)
-            from representation_disentanglement_tpu.metrics import \
-                recon_metrics_device
-            grid = out["x_fake_grid"]
-            gts = jnp.concatenate(
-                [jb["inputs"][j, ..., 0] for i in range(M)
-                 for j in range(M) if i != j], 0)
-            preds = jnp.concatenate(
-                [grid[i, j, ..., 0] for i in range(M)
-                 for j in range(M) if i != j], 0)
-            metric_mat = jnp.stack(recon_metrics_device(gts, preds))
+            metric_mat = mix_metric_mat(jb["inputs"], out["x_fake_grid"])
 
         # two small fetches per batch (11-loss vector + per-sample metric
         # matrix); prediction tensors stay on device unless dumping
