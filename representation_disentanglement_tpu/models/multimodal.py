@@ -255,6 +255,49 @@ class MultimodalModel(nn.Module):
         out = dec(self.input_decoder_notshared, s_pair, mid, types)
         return out                                            # [i, j, B, ...]
 
+    def synthesize(self, x, mask, mask_img, *, source: int = 0,
+                   z: Optional[jnp.ndarray] = None, train: bool = False):
+        """Missing-modality SERVING path: decode each target modality once.
+
+        The evaluation forward decodes the full M x M (anatomy, modality)
+        grid (M^2 SPADE decodes) because that is what the reference's eval
+        scores; serving a missing-modality request only needs the M decodes
+        from ONE anatomy source (the reference's own imputation decodes
+        anatomy of a present modality i into the missing j,
+        src/main_missing.py:402-428) plus the fused y decode.
+
+        x: [M, B, H, W, Cb] with absent modalities zero-filled; mask [B, M];
+        ``source``: the present modality whose anatomy (and per-modality
+        decoder half, src/model.py:3221-3222) drives the synthesis;
+        ``z``: optional [M, B, z] override (e.g. retrieved from a latent
+        bank); defaults to the encoder means.
+
+        Returns (x_hat [M_target, B, H, W, Cb], y_fused [B, H, W, out]).
+        x_hat[source] is the self-reconstruction; rows for absent
+        modalities are the imputations.  Matches row ``source`` of the
+        full decode grid exactly (tested)."""
+        M = self.modality_num
+        s = self.encode_anatomy(x, mask_img, train=train)
+        if z is None:
+            z, _ = self.encode_modality(x, s)
+        z = z.astype(s.dtype)
+        types = self._types()
+        s_src = jnp.broadcast_to(s[source][None], (M,) + s.shape[1:])
+        dec = self._maybe_remat(lambda m, *a: m(*a))
+        if self.shared_inp_dec:
+            x_hat = dec(self.input_decoder, s_src, z, types)
+        elif self.notshared_impl == "loop":
+            mid = dec(self.input_decoder_shared, s_src, z, types)
+            x_hat = dec(self.input_decoder_notshared[source], s_src, mid,
+                        types)
+        else:
+            # the vmapped not-shared half carries all M parameter copies on
+            # a mapped axis and cannot be indexed; fall back to the grid row
+            x_hat = self.decode_inputs_grid(s, z)[source]
+        _, y_fused = self.decode_outputs(s, mask, train=train,
+                                         per_modality=False)
+        return x_hat, y_fused
+
     def decode_outputs(self, s, mask, *, train: bool,
                        per_modality: bool = True):
         """y decodes. s: [M, B, H, W, Cs], mask: [B, M].

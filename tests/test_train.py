@@ -125,3 +125,29 @@ def test_draw_pairs_deterministic_for_two():
     p4 = draw_pairs(pr, 4, 8)
     assert p4.shape == (8, 2)
     assert (p4[:, 0] != p4[:, 1]).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impl", ["loop", "vmap"])
+def test_synthesize_matches_grid_row(rng, impl):
+    """The serving path (M decodes from one anatomy source) must equal the
+    corresponding ROW of the full M x M evaluation grid, and its fused y
+    must equal the grid path's fused y."""
+    cfg = tiny_cfg(notshared_impl=impl)
+    model = build_model(cfg)
+    b = synth_batch(cfg, rng)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), b)
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+
+    out = jax.jit(lambda v, b: model.apply(
+        v, b["inputs"], b["mask"], b["mask_img"], None, train=False,
+        compute_y=True, latent_cycle=False))(v, b)
+    x_hat, y_fused = jax.jit(lambda v, b: model.apply(
+        v, b["inputs"], b["mask"], b["mask_img"],
+        method=model.synthesize, source=1))(v, b)
+
+    np.testing.assert_allclose(np.asarray(x_hat),
+                               np.asarray(out["x_fake_grid"][1]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_fused),
+                               np.asarray(out["y_fake_fused"]), atol=1e-5)
