@@ -48,18 +48,19 @@ def _device_peak_tflops() -> float:
     return 197.0                           # conservative default
 
 
-def _step_flops(step_fn, *args, **static) -> float:
-    """FLOPs of one compiled step via XLA's cost analysis (returns 0 when
-    the backend doesn't expose it, e.g. some remote-compile paths)."""
+def _step_cost(step_fn, *args, **static):
+    """(flops, bytes_accessed) of one compiled step via XLA's cost analysis
+    (zeros when the backend doesn't expose it)."""
     try:
         compiled = step_fn.lower(*args, **static).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return (float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)))
     except Exception as e:                             # pragma: no cover
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
-        return 0.0
+        return 0.0, 0.0
 
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
@@ -104,7 +105,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     sync(m)
     # AFTER the warmup dispatch: the persistent compile cache then serves
     # the cost-analysis lower().compile() from disk instead of recompiling
-    flops_per_step = _step_flops(
+    flops_per_step, bytes_per_step = _step_cost(
         train_step, state, stacked, rngs, pairs(), pairs(),
         jnp.float32(cfg.lr), first_of_epoch=False)
     # best-of-3 windows: the shared TPU tunnel adds run-to-run noise
@@ -191,9 +192,11 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     tflops_achieved = flops_per_step / step_time / 1e12 if flops_per_step \
         else 0.0
     mfu = tflops_achieved / _device_peak_tflops()
+    hbm_gbps = bytes_per_step / step_time / 1e9 if bytes_per_step else 0.0
     return {"train_sps": train_sps, "infer_sps": infer_sps,
             "serve_sps": serve_sps, "val_sps": val_sps,
             "final_loss": final_loss, "flops_per_step": flops_per_step,
+            "bytes_per_step": bytes_per_step, "hbm_gbps": hbm_gbps,
             "tflops_per_sec": tflops_achieved, "mfu": mfu}
 
 
@@ -337,6 +340,8 @@ def main():
         "mfu": round(r["mfu"], 4),
         "tflops_per_sec": round(r["tflops_per_sec"], 2),
         "flops_per_step": r["flops_per_step"],
+        "bytes_per_step": r["bytes_per_step"],
+        "hbm_gbps": round(r["hbm_gbps"], 1),
         "final_loss": round(loss, 4),
         "config": f"BraTS {len(contrasts)}-modality {h}x{w} batch {bs} "
                   f"(effective {eb})",
