@@ -63,6 +63,22 @@ def _step_cost(step_fn, *args, **static):
         return 0.0, 0.0
 
 
+def _time_best3(call, steps):
+    """Best-of-3 windows of `steps` dispatches of `call`, each window ended
+    by a value fetch of call()'s result (the only honest sync through the
+    axon tunnel — see the warmup note in bench_ours)."""
+    o = call()
+    np.asarray(o)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            o = call()
+        np.asarray(o)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16", use_pallas=False,
                cond_mode="grouped", notshared_impl="loop", remat=True):
@@ -136,15 +152,8 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
                           train=False, compute_y=True, latent_cycle=False)
         return out["x_fake_grid"], out["y_fake_fused"]
 
-    o = synth_fwd(state.params, state.batch_stats, batch)
-    sync(o[1])
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            o = synth_fwd(state.params, state.batch_stats, batch)
-        sync(o[1])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    best_dt = _time_best3(
+        lambda: synth_fwd(state.params, state.batch_stats, batch)[1], steps)
     infer_sps = steps * batch_size / best_dt
 
     # serving path: missing-modality synthesis (M decodes from one anatomy
@@ -156,15 +165,8 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
                            b["inputs"], b["mask"], b["mask_img"],
                            method=model.synthesize, source=0)
 
-    o = serve_fwd(state.params, state.batch_stats, batch)
-    sync(o[1])
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            o = serve_fwd(state.params, state.batch_stats, batch)
-        sync(o[1])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    best_dt = _time_best3(
+        lambda: serve_fwd(state.params, state.batch_stats, batch)[1], steps)
     serve_sps = steps * batch_size / best_dt
 
     from representation_disentanglement_tpu.training.evaluate import \
@@ -173,17 +175,9 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     ebatch = {k: batch[k] for k in ("inputs", "targets", "mask", "mask_img")}
     pair = jnp.asarray([0, 1], jnp.int32)
 
-    o = eval_step(state.params, state.batch_stats, ebatch, pair, pair,
-                  compute_y=True)
-    sync(o[2])
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            o = eval_step(state.params, state.batch_stats, ebatch, pair,
-                          pair, compute_y=True)
-        sync(o[2])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    best_dt = _time_best3(
+        lambda: eval_step(state.params, state.batch_stats, ebatch, pair,
+                          pair, compute_y=True)[2], steps)
     val_sps = steps * batch_size / best_dt
     from representation_disentanglement_tpu.training.train import \
         metrics_to_dict

@@ -128,12 +128,18 @@ def test_draw_pairs_deterministic_for_two():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("impl", ["loop", "vmap"])
-def test_synthesize_matches_grid_row(rng, impl):
+@pytest.mark.parametrize("impl,pallas", [("loop", False), ("vmap", False),
+                                         ("loop", True)])
+def test_synthesize_matches_grid_row(rng, impl, pallas, monkeypatch):
     """The serving path (M decodes from one anatomy source) must equal the
     corresponding ROW of the full M x M evaluation grid, and its fused y
-    must equal the grid path's fused y."""
-    cfg = tiny_cfg(notshared_impl=impl)
+    must equal the grid path's fused y.  The pallas=True case runs the
+    fused SPADE kernels in interpret mode — the serving config's kernel
+    dispatch (shared half called with G=M, not G=M*M) gets CPU coverage."""
+    if pallas:
+        from representation_disentanglement_tpu.ops import pallas_kernels
+        monkeypatch.setattr(pallas_kernels, "_FORCE_INTERPRET", True)
+    cfg = tiny_cfg(notshared_impl=impl, use_pallas=pallas)
     model = build_model(cfg)
     b = synth_batch(cfg, rng)
     state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), b)

@@ -73,5 +73,16 @@ def test_train3d_grad_accumulation(rng):
     step = make_train_step_3d(model, tx, donate=False, accum=2)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), b1, b2)
     s2, m = step(state, stacked, key, jnp.float32(1e-4))
-    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(want)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.concatenate([np.ravel(np.asarray(x))
+                          for x in jax.tree.leaves(s2.params)])
+    exp = np.concatenate([np.ravel(np.asarray(x))
+                          for x in jax.tree.leaves(want)])
+    diff = np.abs(got - exp)
+    # Adam's first update is sign-like (m_hat/sqrt(v_hat) ~ +-1), so an
+    # f32 reduction-order difference between the fused step's grads and
+    # the oracle's can flip a near-zero gradient component's update by
+    # up to ~2*lr = 2e-4.  A real accumulation bug shifts a large
+    # fraction of components; isolated flips bounded by 2.5*lr are noise.
+    assert diff.max() <= 2.5e-4, f"max param deviation {diff.max():.2e}"
+    frac = float((diff > 1e-5).mean())
+    assert frac < 1e-3, f"{frac:.2e} of params deviate beyond 1e-5"
