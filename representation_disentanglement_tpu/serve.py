@@ -1,0 +1,234 @@
+"""Missing-modality serving CLI — the imputation product as an entry point.
+
+The reference answers the missing-modality question inside its eval loop
+(``src/main_missing.py:402-428``: decode a present modality's anatomy into
+the absent contrast).  Here that product question gets its own driver built
+on the TPU-native serving path ``MultimodalModel.synthesize`` (M decodes
+from ONE anatomy source + the fused y decode, NOT the M^2 evaluation
+grid — ~3x the grid forward's throughput, see PERF.md):
+
+    python -m representation_disentanglement_tpu.serve config.yaml \
+        --missing T1,FLAIR [--source T2] [--out-dir serve_out] \
+        [--ckpt-root ../ckpt] [--format auto|npy|nifti] [--subjects a,b]
+
+Workflow: resolve the run directory exactly like ``phase: test``
+(``ckpt_timelabel`` selects the trained run), restore ``model_best.ckpt``,
+iterate the test fold subject by subject, zero-fill the requested absent
+contrasts, run the jitted serving step over the subject's slices, and write
+one re-assembled [D, H, W] volume per synthesized contrast (plus the fused
+y output: label volume for segmentation heads, image volume otherwise).
+
+The model's background mask (quirk Q6) is normally derived from contrast 0;
+when contrast 0 itself is being served it is derived from the anatomy
+``--source`` contrast instead (the closest present-data analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from representation_disentanglement_tpu.config import (
+    Config, load_config, resolve_run)
+from representation_disentanglement_tpu.data.dataset import DataAll
+
+
+def _group_by_subject(subj_list, idx_list) -> Dict[str, List[int]]:
+    """Dataset-row indices per subject, in slice order (the fold txts list
+    each subject's slices contiguously; sort by slice index within)."""
+    rows: Dict[str, List[int]] = {}
+    for i, s in enumerate(subj_list):
+        rows.setdefault(str(s), []).append(i)
+    for s, ii in rows.items():
+        ii.sort(key=lambda i: int(idx_list[i]))
+    return rows
+
+
+def make_serve_step(model, cfg: Config, source: int):
+    """Jitted serving step: inputs already zero-filled for absent
+    contrasts.  Returns (x_hat [M, B, H, W, bc], y_fused [B, H, W, C])."""
+    bf16 = cfg.compute_dtype == "bfloat16"
+
+    @jax.jit
+    def step(params, batch_stats, inputs, mask, mask_img):
+        x = inputs.astype(jnp.bfloat16) if bf16 else inputs
+        x_hat, y = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, mask, mask_img, method=model.synthesize, source=source)
+        return x_hat.astype(jnp.float32), y.astype(jnp.float32)
+
+    return step
+
+
+def _save_volume(base: str, vol: np.ndarray, fmt: str) -> str:
+    if fmt == "nifti":
+        from representation_disentanglement_tpu.utils.visualize import (
+            save_volume_nifti)
+        save_volume_nifti(base + ".nii", vol)
+        return base + ".nii"
+    np.save(base + ".npy", vol)
+    return base + ".npy"
+
+
+def serve(cfg: Config, missing: Sequence[str], source: str | None,
+          out_dir: str, fmt: str = "auto",
+          subjects: Sequence[str] | None = None,
+          save_y: bool = True) -> Dict[str, list]:
+    """Run missing-modality synthesis over the test fold.  Returns
+    {subject: [written paths]}."""
+    contrasts = list(cfg.contrast_list)
+    miss_idx = []
+    for m in missing:
+        if m not in contrasts:
+            raise ValueError(f"--missing {m!r} not in contrast_list "
+                             f"{contrasts}")
+        miss_idx.append(contrasts.index(m))
+    if source is None:
+        present = [c for c in contrasts if c not in missing]
+        if not present:
+            raise ValueError("every contrast is missing; nothing to "
+                             "anchor the anatomy on")
+        source = present[0]
+    if source in missing:
+        raise ValueError(f"--source {source!r} is in --missing")
+    src_idx = contrasts.index(source)
+
+    if fmt == "auto":
+        try:
+            import nibabel  # noqa: F401
+            fmt = "nifti"
+        except ImportError:
+            fmt = "npy"
+
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_checkpoint, load_partial_params)
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    model = build_model(cfg)
+    data = DataAll(cfg.dataset_name, cfg.data_path, norm_type=cfg.norm_type,
+                   batch_size=cfg.batch_size, num_fold=cfg.num_fold,
+                   fold=cfg.fold, shuffle=False, block_size=cfg.block_size,
+                   contrast_list=contrasts, dropoff=False,
+                   skull_strip=cfg.skull_strip, image_size=cfg.input_size,
+                   seed=cfg.seed)
+    ds = data.test_dataset
+    rows = _group_by_subject(ds.subj_list, ds.idx_list)
+    if subjects:
+        unknown = [s for s in subjects if s not in rows]
+        if unknown:
+            raise ValueError(f"subjects not in test fold: {unknown}")
+        rows = {s: rows[s] for s in subjects}
+    if not rows:
+        raise ValueError("test fold is empty")
+
+    # init params (jitted, tiny one-batch trace) then restore the checkpoint
+    first = ds.get_batch(rows[next(iter(rows))][:cfg.batch_size])
+    sample = {k: first[k] for k in ("inputs", "targets", "mask", "mask_img")}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                                  sample)
+    ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
+    params, n_res, n_tot = load_partial_params(state.params,
+                                               ckpt.get("params"))
+    print(f"[serve] restored {n_res}/{n_tot} param tensors from "
+          f"{os.path.join(cfg.ckpt_path, cfg.ckpt_name)}")
+    bstats, _, _ = load_partial_params(state.batch_stats,
+                                       ckpt.get("batch_stats", {}))
+
+    step = make_serve_step(model, cfg, src_idx)
+    os.makedirs(out_dir, exist_ok=True)
+    b = cfg.block_size
+    B = cfg.batch_size
+    written: Dict[str, list] = {}
+    n_slices = 0
+    t0 = time.perf_counter()
+    for subj, ii in rows.items():
+        # batches of B with the tail padded by repeating the last row so
+        # every dispatch reuses the one compiled executable
+        per_mod = [[] for _ in contrasts]
+        y_slices = []
+        for lo in range(0, len(ii), B):
+            chunk = ii[lo:lo + B]
+            n_valid = len(chunk)
+            if n_valid < B:
+                chunk = chunk + [chunk[-1]] * (B - n_valid)
+            batch = ds.get_batch(chunk)
+            inputs, mask = batch["inputs"], batch["mask"]
+            for mi in miss_idx:
+                inputs[mi] = 0.0
+                mask[:, mi] = 0.0
+            # Q6 background mask: contrast 0 unless it is being served
+            ref_mod = 0 if 0 not in miss_idx else src_idx
+            mask_img = (inputs[ref_mod, :, :, :, 0] == 0).astype(np.float32)
+            x_hat, y = step(params, bstats, inputs, mask, mask_img)
+            x_hat = np.asarray(x_hat)[:, :n_valid, :, :, b]  # center slice
+            for mi in range(len(contrasts)):
+                per_mod[mi].append(x_hat[mi])
+            y_slices.append(np.asarray(y)[:n_valid])
+            n_slices += n_valid
+        paths = []
+        for mi in miss_idx + ([src_idx] if src_idx not in miss_idx else []):
+            tag = "synth" if mi in miss_idx else "recon"
+            vol = np.concatenate(per_mod[mi], axis=0)      # [D, H, W]
+            paths.append(_save_volume(
+                os.path.join(out_dir, f"{subj}_{contrasts[mi]}_{tag}"),
+                vol, fmt))
+        if save_y:
+            yv = np.concatenate(y_slices, axis=0)          # [D, H, W, C]
+            if cfg.dataset_name == "BraTS" and yv.shape[-1] >= 4:
+                # label map via the reference's per-class rule: channel i
+                # is class i+1, thresholded at 0.5 (src/util.py:946-953;
+                # evaluate.device_metrics scores yf[..., 1:] the same way)
+                fg = yv[..., 1:4]
+                yv = (np.argmax(fg, axis=-1) + 1).astype(np.float32) \
+                    * (np.max(fg, axis=-1) > 0.5)
+            else:
+                yv = yv[..., 0]
+            paths.append(_save_volume(
+                os.path.join(out_dir, f"{subj}_y"), yv, fmt))
+        written[subj] = paths
+        print(f"[serve] {subj}: {len(ii)} slices -> {len(paths)} volumes")
+    dt = time.perf_counter() - t0
+    print(f"[serve] {len(rows)} subjects, {n_slices} slices in {dt:.1f}s "
+          f"({n_slices / dt:.1f} slices/s incl. IO)")
+    return written
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", nargs="?", default="config.yaml")
+    ap.add_argument("--missing", required=True,
+                    help="comma-separated contrasts to zero-fill and "
+                         "synthesize (e.g. T1,FLAIR)")
+    ap.add_argument("--source", default=None,
+                    help="present contrast whose anatomy drives the "
+                         "synthesis (default: first non-missing)")
+    ap.add_argument("--out-dir", default="serve_out")
+    ap.add_argument("--ckpt-root", default="../ckpt")
+    ap.add_argument("--format", default="auto",
+                    choices=("auto", "npy", "nifti"))
+    ap.add_argument("--subjects", default=None,
+                    help="comma-separated subset of test-fold subjects")
+    ap.add_argument("--no-y", action="store_true",
+                    help="skip the fused y output volume")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    cfg.phase = "test"            # resolve_run: reuse ckpt_timelabel dir
+    cfg = resolve_run(cfg, ckpt_root=args.ckpt_root).derive().validate()
+    serve(cfg, [m for m in args.missing.split(",") if m],
+          args.source, args.out_dir, fmt=args.format,
+          subjects=args.subjects.split(",") if args.subjects else None,
+          save_y=not args.no_y)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -166,3 +166,73 @@ def test_cli_ncanda_cross_synthesis(tmp_path):
     cfg_path.write_text(yaml.dump(d))
     stat = main([str(cfg_path), "--ckpt-root", str(tmp_path / "ckpt")])
     assert np.isfinite(stat["recon_x_mix"]) and np.isfinite(stat["psnr"])
+
+
+@pytest.mark.slow
+def test_cli_serve_missing_modality(workdir):
+    """Serving CLI e2e: restore a checkpoint, zero-fill a contrast, write
+    re-assembled synth/recon/y volumes for every test-fold subject, and
+    match a direct model.synthesize call on the first batch."""
+    import jax
+    import jax.numpy as jnp
+    from representation_disentanglement_tpu import serve as serve_mod
+    from representation_disentanglement_tpu.config import (
+        load_config, resolve_run)
+    from representation_disentanglement_tpu.data.dataset import DataAll
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.checkpoint import (
+        save_checkpoint)
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    cfg_path = _cfg(workdir, phase="test", ckpt_timelabel="serve_run",
+                    model_name="ServeModel", load_yaml=False)
+    root = str(workdir / "ckpt_serve")
+    cfg = load_config(cfg_path)
+    cfg.phase = "test"
+    cfg = resolve_run(cfg, ckpt_root=root).derive().validate()
+
+    # untrained but real checkpoint (params + batch_stats round-trip)
+    model = build_model(cfg)
+    data = DataAll(cfg.dataset_name, cfg.data_path, norm_type=cfg.norm_type,
+                   batch_size=cfg.batch_size, fold=cfg.fold, shuffle=False,
+                   block_size=cfg.block_size, contrast_list=cfg.contrast_list,
+                   image_size=cfg.input_size, seed=cfg.seed)
+    ds = data.test_dataset
+    first = ds.get_batch(list(range(cfg.batch_size)))
+    sample = {k: first[k] for k in ("inputs", "targets", "mask", "mask_img")}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+    save_checkpoint({"params": state.params,
+                     "batch_stats": state.batch_stats, "epoch": 0},
+                    True, cfg.ckpt_path, name=None)
+
+    out_dir = str(workdir / "serve_out")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--out-dir", out_dir, "--format", "npy"])
+
+    rows = serve_mod._group_by_subject(ds.subj_list, ds.idx_list)
+    D = len(next(iter(rows.values())))
+    H, W = cfg.input_size
+    for subj in rows:
+        synth = np.load(os.path.join(out_dir, f"{subj}_T2_synth.npy"))
+        recon = np.load(os.path.join(out_dir, f"{subj}_T1_recon.npy"))
+        y = np.load(os.path.join(out_dir, f"{subj}_y.npy"))
+        assert synth.shape == (D, H, W) and recon.shape == (D, H, W)
+        assert y.shape == (D, H, W)
+        assert np.isfinite(synth).all() and np.abs(synth).sum() > 0
+
+    # oracle: first batch through model.synthesize directly
+    subj0, ii0 = next(iter(rows.items()))
+    batch = ds.get_batch(ii0[:cfg.batch_size])
+    inputs, mask = batch["inputs"], batch["mask"]
+    inputs[1] = 0.0
+    mask[:, 1] = 0.0
+    mask_img = (inputs[0, :, :, :, 0] == 0).astype(np.float32)
+    x_hat, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(inputs), jnp.asarray(mask), jnp.asarray(mask_img),
+        method=model.synthesize, source=0)
+    want = np.asarray(x_hat)[1, :, :, :, cfg.block_size]
+    got = np.load(os.path.join(out_dir, f"{subj0}_T2_synth.npy"))[
+        :cfg.batch_size]
+    np.testing.assert_allclose(got, want, atol=1e-5)
