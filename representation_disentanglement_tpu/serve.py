@@ -67,6 +67,62 @@ def make_serve_step(model, cfg: Config, source: int):
     return step
 
 
+def make_serve_step_retrieval(model, cfg: Config, source: int,
+                              miss_idx: Sequence[int], z_mode: str,
+                              vgg_ctx):
+    """Serving step with latent retrieval: the missing modalities' z comes
+    from a bank of training-set latents keyed by compact anatomy (the
+    reference's test-time imputation, src/main_missing.py:402-428 — its
+    query rule |1-i| generalizes here to "query with the anatomy source's
+    compact s").  Present modalities keep their encoder z."""
+    from representation_disentanglement_tpu import losses as L
+    bf16 = cfg.compute_dtype == "bfloat16"
+    miss = frozenset(int(i) for i in miss_idx)
+
+    @jax.jit
+    def step(params, batch_stats, inputs, mask, mask_img, s_bank_key,
+             z_bank):
+        x = inputs.astype(jnp.bfloat16) if bf16 else inputs
+        v = {"params": params, "batch_stats": batch_stats}
+        s = model.apply(v, x, mask_img, train=False,
+                        method=model.encode_anatomy)
+        z_enc, _ = model.apply(v, x, s, method=model.encode_modality)
+        s_key = L.compact_s(s[source].astype(jnp.float32),
+                            cfg.s_compact_method, vgg_ctx)       # [B, D]
+        rows = []
+        for i in range(cfg.modality_num):
+            if i not in miss:
+                rows.append(z_enc[i])
+            elif z_mode == "nearest_neighbour":
+                rows.append(L.nearest_neighbour_z_by_s(
+                    s_bank_key, z_bank[:, i], s_key))
+            else:
+                rows.append(jnp.broadcast_to(
+                    L.mean_z(z_bank[:, i]),
+                    (s_key.shape[0], z_bank.shape[-1])))
+        z = jnp.stack(rows, 0)                                   # [M, B, z]
+        x_hat, y = model.apply(v, x, mask, mask_img,
+                               method=model.synthesize, source=source, z=z)
+        return x_hat.astype(jnp.float32), y.astype(jnp.float32)
+
+    return step
+
+
+def load_z_bank(bank_path: str, cfg: Config, source: int, vgg_ctx):
+    """Load a results_all.h5 dump (typically from ``--set train`` eval) and
+    precompute the bank: compact anatomy keys of the source modality +
+    per-modality z vectors.  Returns (s_bank_key [N, D], z_bank [N, M, z])."""
+    import h5py
+    from representation_disentanglement_tpu import losses as L
+    with h5py.File(bank_path, "r") as f:
+        s_saved = np.asarray(f["s_list"])          # [N, M, Cs, H, W] (NCHW)
+        z_saved = np.asarray(f["z_list"])          # [N, M, z]
+    s_src = np.moveaxis(s_saved[:, source], 1, -1)  # [N, H, W, Cs]
+    key = jax.jit(lambda a: L.compact_s(a, cfg.s_compact_method, vgg_ctx))(
+        jnp.asarray(s_src))
+    return key, jnp.asarray(z_saved)
+
+
 def _save_volume(base: str, vol: np.ndarray, fmt: str) -> str:
     if fmt == "nifti":
         from representation_disentanglement_tpu.utils.visualize import (
@@ -80,7 +136,8 @@ def _save_volume(base: str, vol: np.ndarray, fmt: str) -> str:
 def serve(cfg: Config, missing: Sequence[str], source: str | None,
           out_dir: str, fmt: str = "auto",
           subjects: Sequence[str] | None = None,
-          save_y: bool = True) -> Dict[str, list]:
+          save_y: bool = True, z_bank: str | None = None,
+          z_mode: str = "nearest_neighbour") -> Dict[str, list]:
     """Run missing-modality synthesis over the test fold.  Returns
     {subject: [written paths]}."""
     contrasts = list(cfg.contrast_list)
@@ -143,7 +200,19 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
     bstats, _, _ = load_partial_params(state.batch_stats,
                                        ckpt.get("batch_stats", {}))
 
-    step = make_serve_step(model, cfg, src_idx)
+    if z_bank:
+        from representation_disentanglement_tpu.training.train import (
+            load_vgg_constants, make_vgg_ctx)
+        vgg_ctx = make_vgg_ctx(params, load_vgg_constants(cfg))
+        bank_key, bank_z = load_z_bank(z_bank, cfg, src_idx, vgg_ctx)
+        print(f"[serve] z retrieval ({z_mode}) from {z_bank}: "
+              f"{bank_key.shape[0]} bank entries")
+        ret_step = make_serve_step_retrieval(model, cfg, src_idx, miss_idx,
+                                             z_mode, vgg_ctx)
+        step = lambda p, bs, x, m, mi: ret_step(p, bs, x, m, mi,
+                                                bank_key, bank_z)
+    else:
+        step = make_serve_step(model, cfg, src_idx)
     os.makedirs(out_dir, exist_ok=True)
     b = cfg.block_size
     B = cfg.batch_size
@@ -219,6 +288,13 @@ def main(argv=None):
                     help="comma-separated subset of test-fold subjects")
     ap.add_argument("--no-y", action="store_true",
                     help="skip the fused y output volume")
+    ap.add_argument("--z-bank", default=None,
+                    help="results_all.h5 latent bank (from a `--set train` "
+                         "eval dump); the missing modalities' z is then "
+                         "retrieved by compact-anatomy similarity instead "
+                         "of encoded from the zero-filled input")
+    ap.add_argument("--z-mode", default="nearest_neighbour",
+                    choices=("nearest_neighbour", "mean"))
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -227,7 +303,7 @@ def main(argv=None):
     serve(cfg, [m for m in args.missing.split(",") if m],
           args.source, args.out_dir, fmt=args.format,
           subjects=args.subjects.split(",") if args.subjects else None,
-          save_y=not args.no_y)
+          save_y=not args.no_y, z_bank=args.z_bank, z_mode=args.z_mode)
 
 
 if __name__ == "__main__":

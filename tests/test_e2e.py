@@ -236,3 +236,92 @@ def test_cli_serve_missing_modality(workdir):
     got = np.load(os.path.join(out_dir, f"{subj0}_T2_synth.npy"))[
         :cfg.batch_size]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cli_serve_with_z_bank(workdir):
+    """--z-bank retrieval: missing modality z comes from the bank.  Oracle
+    for --z-mode mean (retrieved z == bank mean, checked via a direct
+    synthesize(z=...) call); nearest_neighbour exercised for execution."""
+    import jax
+    import jax.numpy as jnp
+    from representation_disentanglement_tpu import serve as serve_mod
+    from representation_disentanglement_tpu.config import (
+        load_config, resolve_run)
+    from representation_disentanglement_tpu.data.dataset import DataAll
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_checkpoint, load_partial_params)
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    # reuse the checkpoint written by test_cli_serve_missing_modality
+    cfg_path = _cfg(workdir, phase="test", ckpt_timelabel="serve_run",
+                    model_name="ServeModel", load_yaml=False)
+    root = str(workdir / "ckpt_serve")
+    cfg = load_config(cfg_path)
+    cfg.phase = "test"
+    cfg = resolve_run(cfg, ckpt_root=root).derive().validate()
+    if not os.path.isfile(os.path.join(cfg.ckpt_path, cfg.ckpt_name)):
+        pytest.skip("serve checkpoint fixture not present")
+
+    # synthetic latent bank with the results_all.h5 contract
+    rng = np.random.default_rng(3)
+    N, M, Cs, H, W, Z = 11, 2, 4, 32, 64, 16
+    bank_path = str(workdir / "bank.h5")
+    with h5py.File(bank_path, "w") as f:
+        f["s_list"] = rng.normal(size=(N, M, Cs, H, W)).astype(np.float32)
+        f["z_list"] = rng.normal(size=(N, M, Z)).astype(np.float32)
+
+    out_mean = str(workdir / "serve_out_mean")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--out-dir", out_mean, "--format", "npy",
+                    "--z-bank", bank_path, "--z-mode", "mean"])
+    out_nn = str(workdir / "serve_out_nn")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--out-dir", out_nn, "--format", "npy",
+                    "--z-bank", bank_path])
+
+    ds = DataAll(cfg.dataset_name, cfg.data_path, norm_type=cfg.norm_type,
+                 batch_size=cfg.batch_size, fold=cfg.fold, shuffle=False,
+                 block_size=cfg.block_size, contrast_list=cfg.contrast_list,
+                 image_size=cfg.input_size, seed=cfg.seed).test_dataset
+    rows = serve_mod._group_by_subject(ds.subj_list, ds.idx_list)
+    subj0, ii0 = next(iter(rows.items()))
+
+    # oracle for mean mode on the first batch
+    model = build_model(cfg)
+    batch = ds.get_batch(ii0[:cfg.batch_size])
+    inputs, mask = batch["inputs"], batch["mask"]
+    inputs[1] = 0.0
+    mask[:, 1] = 0.0
+    mask_img = (inputs[0, :, :, :, 0] == 0).astype(np.float32)
+    first = {k: batch[k] for k in ("inputs", "targets", "mask", "mask_img")}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), first)
+    ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
+    params, _, _ = load_partial_params(state.params, ckpt.get("params"))
+    bstats, _, _ = load_partial_params(state.batch_stats,
+                                       ckpt.get("batch_stats", {}))
+    v = {"params": params, "batch_stats": bstats}
+    x = jnp.asarray(inputs)
+    s = model.apply(v, x, jnp.asarray(mask_img), train=False,
+                    method=model.encode_anatomy)
+    z_enc, _ = model.apply(v, x, s, method=model.encode_modality)
+    with h5py.File(bank_path) as f:
+        z_saved = np.asarray(f["z_list"])
+    z = jnp.stack([z_enc[0],
+                   jnp.broadcast_to(jnp.asarray(z_saved[:, 1].mean(0)),
+                                    (cfg.batch_size, Z))], 0)
+    x_hat, _ = model.apply(v, x, jnp.asarray(mask), jnp.asarray(mask_img),
+                           method=model.synthesize, source=0, z=z)
+    want = np.asarray(x_hat)[1, :, :, :, cfg.block_size]
+    got = np.load(os.path.join(out_mean, f"{subj0}_T2_synth.npy"))[
+        :cfg.batch_size]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # NN mode executed and produced different volumes than encoder-z serving
+    nn_vol = np.load(os.path.join(out_nn, f"{subj0}_T2_synth.npy"))
+    assert np.isfinite(nn_vol).all()
+    enc_vol = np.load(os.path.join(str(workdir / "serve_out"),
+                                   f"{subj0}_T2_synth.npy"))
+    assert not np.allclose(nn_vol, enc_vol)
