@@ -132,8 +132,12 @@ def main(argv=None):
         from flax import serialization
         from representation_disentanglement_tpu.training.checkpoint import (
             load_partial_params)
-        epochs = sorted(glob.glob(os.path.join(args.ckpt_dir,
-                                               "epoch*.ckpt")))
+        # numeric sort: lexicographic breaks past epoch 999 (epoch1000 <
+        # epoch999 as strings with the 3-digit zero padding)
+        epochs = sorted(
+            glob.glob(os.path.join(args.ckpt_dir, "epoch*.ckpt")),
+            key=lambda p: int("".join(filter(str.isdigit,
+                                             os.path.basename(p))) or 0))
         name = os.path.basename(epochs[-1]) if epochs else "model_best.ckpt"
         ckpt = load_checkpoint(args.ckpt_dir, name)
         params, n_res, n_tot = load_partial_params(state.params,
@@ -197,15 +201,11 @@ def main(argv=None):
                          "monitor_metric": mean_loss,
                          "stat": {}}, is_best, args.ckpt_dir)
 
-    # eval (optionally depth-sharded)
+    # eval (optionally depth-sharded; reuse the training mesh — the
+    # accum/depth-shards incompatibility already raised before training)
     if args.depth_shards > 1:
         from representation_disentanglement_tpu.parallel.halo import (
-            make_depth_mesh, sharded_nvnet_infer)
-        if args.accum > 1:
-            raise ValueError("--accum is not supported together with "
-                             "--depth-shards (the sharded step takes one "
-                             "batch per optimizer step)")
-        mesh = make_depth_mesh(args.depth_shards)
+            sharded_nvnet_infer)
         run = sharded_nvnet_infer(model, {"params": state.params}, mesh)
         # sharded_nvnet_infer returns raw logits; match make_eval_step_3d
         infer = lambda x: jax.nn.sigmoid(run(x)[0])

@@ -36,7 +36,7 @@ from representation_disentanglement_tpu.data.dataset import DataAll
 from representation_disentanglement_tpu.data.loader import BatchLoader
 from representation_disentanglement_tpu.models import MultimodalModel
 from representation_disentanglement_tpu.training.checkpoint import (
-    load_checkpoint, load_partial_params, save_checkpoint)
+    restore_model_state, save_checkpoint)
 from representation_disentanglement_tpu.training.evaluate import (
     evaluate, make_eval_step)
 from representation_disentanglement_tpu.training.optim import (
@@ -350,12 +350,9 @@ def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
     scheduler = ReduceLROnPlateau(cfg.lr)
     start_epoch = -1
     if cfg.continue_train or cfg.phase == "test":
-        ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
-        params, n_res, n_tot = load_partial_params(state.params,
-                                                   ckpt.get("params"))
+        ckpt, params, bstats, n_res, n_tot = restore_model_state(
+            state.params, state.batch_stats, cfg.ckpt_path, cfg.ckpt_name)
         print(f"restored {n_res}/{n_tot} param tensors")
-        bstats, _, _ = load_partial_params(state.batch_stats,
-                                           ckpt.get("batch_stats", {}))
         state = state._replace(params=params, batch_stats=bstats)
         if "opt_state" in ckpt and n_res == n_tot:
             try:

@@ -256,7 +256,9 @@ class MultimodalModel(nn.Module):
         return out                                            # [i, j, B, ...]
 
     def synthesize(self, x, mask, mask_img, *, source: int = 0,
-                   z: Optional[jnp.ndarray] = None, train: bool = False):
+                   z: Optional[jnp.ndarray] = None,
+                   s: Optional[jnp.ndarray] = None,
+                   with_y: bool = True, train: bool = False):
         """Missing-modality SERVING path: decode each target modality once.
 
         The evaluation forward decodes the full M x M (anatomy, modality)
@@ -270,14 +272,19 @@ class MultimodalModel(nn.Module):
         ``source``: the present modality whose anatomy (and per-modality
         decoder half, src/model.py:3221-3222) drives the synthesis;
         ``z``: optional [M, B, z] override (e.g. retrieved from a latent
-        bank); defaults to the encoder means.
+        bank); defaults to the encoder means.  ``s``: optional precomputed
+        anatomy codes [M, B, H, W, Cs] (a caller that already ran
+        ``encode_anatomy`` — e.g. to build a retrieval query key — passes
+        them back to avoid a second encoder pass); ``with_y=False`` skips
+        the fused-y decode and returns ``y_fused=None``.
 
         Returns (x_hat [M_target, B, H, W, Cb], y_fused [B, H, W, out]).
         x_hat[source] is the self-reconstruction; rows for absent
         modalities are the imputations.  Matches row ``source`` of the
         full decode grid exactly (tested)."""
         M = self.modality_num
-        s = self.encode_anatomy(x, mask_img, train=train)
+        if s is None:
+            s = self.encode_anatomy(x, mask_img, train=train)
         if z is None:
             z, _ = self.encode_modality(x, s)
         z = z.astype(s.dtype)
@@ -294,6 +301,8 @@ class MultimodalModel(nn.Module):
             # the vmapped not-shared half carries all M parameter copies on
             # a mapped axis and cannot be indexed; fall back to the grid row
             x_hat = self.decode_inputs_grid(s, z)[source]
+        if not with_y:
+            return x_hat, None
         _, y_fused = self.decode_outputs(s, mask, train=train,
                                          per_modality=False)
         return x_hat, y_fused

@@ -51,7 +51,7 @@ _FORCE_INTERPRET = _os.environ.get("RDT_PALLAS_INTERPRET") == "1"
 
 
 def _ch_selector(c: int, wc: int, dtype=jnp.float32):
-    """selT[c, l] = 1 if lane l holds channel c (l % c == c)."""
+    """selT[ch, l] = 1 if lane l holds channel ch (l % C == ch)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 1)
     ch = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
     return (lane % c == ch).astype(dtype)

@@ -8,7 +8,7 @@ from ONE anatomy source + the fused y decode, NOT the M^2 evaluation
 grid — ~3x the grid forward's throughput, see PERF.md):
 
     python -m representation_disentanglement_tpu.serve config.yaml \
-        --missing T1,FLAIR [--source T2] [--out-dir serve_out] \
+        --missing T1,T2_FLAIR [--source T2] [--out-dir serve_out] \
         [--ckpt-root ../ckpt] [--format auto|npy|nifti] [--subjects a,b]
 
 Workflow: resolve the run directory exactly like ``phase: test``
@@ -51,9 +51,11 @@ def _group_by_subject(subj_list, idx_list) -> Dict[str, List[int]]:
     return rows
 
 
-def make_serve_step(model, cfg: Config, source: int):
+def make_serve_step(model, cfg: Config, source: int, with_y: bool = True):
     """Jitted serving step: inputs already zero-filled for absent
-    contrasts.  Returns (x_hat [M, B, H, W, bc], y_fused [B, H, W, C])."""
+    contrasts.  Returns (x_hat [M, B, H, W, bc], y_fused [B, H, W, C] or
+    None when ``with_y`` is off — the fused decode is skipped, not just
+    discarded)."""
     bf16 = cfg.compute_dtype == "bfloat16"
 
     @jax.jit
@@ -61,15 +63,17 @@ def make_serve_step(model, cfg: Config, source: int):
         x = inputs.astype(jnp.bfloat16) if bf16 else inputs
         x_hat, y = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            x, mask, mask_img, method=model.synthesize, source=source)
-        return x_hat.astype(jnp.float32), y.astype(jnp.float32)
+            x, mask, mask_img, method=model.synthesize, source=source,
+            with_y=with_y)
+        return (x_hat.astype(jnp.float32),
+                y.astype(jnp.float32) if with_y else None)
 
     return step
 
 
 def make_serve_step_retrieval(model, cfg: Config, source: int,
                               miss_idx: Sequence[int], z_mode: str,
-                              vgg_ctx):
+                              vgg_ctx, with_y: bool = True):
     """Serving step with latent retrieval: the missing modalities' z comes
     from a bank of training-set latents keyed by compact anatomy (the
     reference's test-time imputation, src/main_missing.py:402-428 — its
@@ -101,9 +105,14 @@ def make_serve_step_retrieval(model, cfg: Config, source: int,
                     L.mean_z(z_bank[:, i]),
                     (s_key.shape[0], z_bank.shape[-1])))
         z = jnp.stack(rows, 0)                                   # [M, B, z]
+        # pass s back in: synthesize must not re-run the anatomy encoder
+        # (under remat the two passes sit in separate checkpoint scopes
+        # and XLA cannot CSE them)
         x_hat, y = model.apply(v, x, mask, mask_img,
-                               method=model.synthesize, source=source, z=z)
-        return x_hat.astype(jnp.float32), y.astype(jnp.float32)
+                               method=model.synthesize, source=source,
+                               z=z, s=s, with_y=with_y)
+        return (x_hat.astype(jnp.float32),
+                y.astype(jnp.float32) if with_y else None)
 
     return step
 
@@ -166,7 +175,7 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
 
     from representation_disentanglement_tpu.main_missing import build_model
     from representation_disentanglement_tpu.training.checkpoint import (
-        load_checkpoint, load_partial_params)
+        restore_model_state)
     from representation_disentanglement_tpu.training.train import (
         create_train_state)
 
@@ -192,13 +201,10 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
     sample = {k: first[k] for k in ("inputs", "targets", "mask", "mask_img")}
     state, _ = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
                                   sample)
-    ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
-    params, n_res, n_tot = load_partial_params(state.params,
-                                               ckpt.get("params"))
+    _, params, bstats, n_res, n_tot = restore_model_state(
+        state.params, state.batch_stats, cfg.ckpt_path, cfg.ckpt_name)
     print(f"[serve] restored {n_res}/{n_tot} param tensors from "
           f"{os.path.join(cfg.ckpt_path, cfg.ckpt_name)}")
-    bstats, _, _ = load_partial_params(state.batch_stats,
-                                       ckpt.get("batch_stats", {}))
 
     if z_bank:
         from representation_disentanglement_tpu.training.train import (
@@ -208,21 +214,23 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
         print(f"[serve] z retrieval ({z_mode}) from {z_bank}: "
               f"{bank_key.shape[0]} bank entries")
         ret_step = make_serve_step_retrieval(model, cfg, src_idx, miss_idx,
-                                             z_mode, vgg_ctx)
+                                             z_mode, vgg_ctx, with_y=save_y)
         step = lambda p, bs, x, m, mi: ret_step(p, bs, x, m, mi,
                                                 bank_key, bank_z)
     else:
-        step = make_serve_step(model, cfg, src_idx)
+        step = make_serve_step(model, cfg, src_idx, with_y=save_y)
     os.makedirs(out_dir, exist_ok=True)
     b = cfg.block_size
     B = cfg.batch_size
     written: Dict[str, list] = {}
     n_slices = 0
     t0 = time.perf_counter()
+    # only the rows that get written are kept on the host
+    keep_idx = miss_idx + ([src_idx] if src_idx not in miss_idx else [])
     for subj, ii in rows.items():
         # batches of B with the tail padded by repeating the last row so
         # every dispatch reuses the one compiled executable
-        per_mod = [[] for _ in contrasts]
+        per_mod = {mi: [] for mi in keep_idx}
         y_slices = []
         for lo in range(0, len(ii), B):
             chunk = ii[lo:lo + B]
@@ -239,12 +247,13 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
             mask_img = (inputs[ref_mod, :, :, :, 0] == 0).astype(np.float32)
             x_hat, y = step(params, bstats, inputs, mask, mask_img)
             x_hat = np.asarray(x_hat)[:, :n_valid, :, :, b]  # center slice
-            for mi in range(len(contrasts)):
+            for mi in keep_idx:
                 per_mod[mi].append(x_hat[mi])
-            y_slices.append(np.asarray(y)[:n_valid])
+            if save_y:
+                y_slices.append(np.asarray(y)[:n_valid])
             n_slices += n_valid
         paths = []
-        for mi in miss_idx + ([src_idx] if src_idx not in miss_idx else []):
+        for mi in keep_idx:
             tag = "synth" if mi in miss_idx else "recon"
             vol = np.concatenate(per_mod[mi], axis=0)      # [D, H, W]
             paths.append(_save_volume(

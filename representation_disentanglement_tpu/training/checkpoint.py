@@ -74,3 +74,17 @@ def load_partial_params(current: Any, saved: Any) -> Tuple[Any, int, int]:
         else:
             out[k] = v
     return unflatten_dict(out), restored, len(cur_flat)
+
+
+def restore_model_state(params: Any, batch_stats: Any, ckpt_path: str,
+                        ckpt_name: str = "model_best.ckpt"
+                        ) -> Tuple[Dict[str, Any], Any, Any, int, int]:
+    """The shared half of the resume protocol (src/util.py:880-903): load a
+    checkpoint and partial-restore params + batch_stats against the current
+    shapes.  Returns (raw ckpt dict, params, batch_stats, n_restored,
+    n_total) so callers can additionally restore opt_state / scheduler /
+    epoch with their own tolerance rules."""
+    ckpt = load_checkpoint(ckpt_path, ckpt_name)
+    p, n_res, n_tot = load_partial_params(params, ckpt.get("params"))
+    bs, _, _ = load_partial_params(batch_stats, ckpt.get("batch_stats", {}))
+    return ckpt, p, bs, n_res, n_tot

@@ -264,6 +264,9 @@ def test_cli_serve_with_z_bank(workdir):
     cfg = resolve_run(cfg, ckpt_root=root).derive().validate()
     if not os.path.isfile(os.path.join(cfg.ckpt_path, cfg.ckpt_name)):
         pytest.skip("serve checkpoint fixture not present")
+    if not os.path.isdir(str(workdir / "serve_out")):
+        pytest.skip("serve_out fixture from the encoder-z serving test "
+                    "not present (it is the comparison baseline)")
 
     # synthetic latent bank with the results_all.h5 contract
     rng = np.random.default_rng(3)
