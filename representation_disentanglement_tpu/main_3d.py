@@ -49,6 +49,9 @@ def volume_loader(ds, batch_size, shuffle, seed=10):
 
 
 def main(argv=None):
+    from representation_disentanglement_tpu.utils.profiling import (
+        enable_compile_cache)
+    enable_compile_cache()      # warm-start recompiles across CLI runs
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-path", required=True)
     ap.add_argument("--dataset", default="BraTS")

@@ -405,6 +405,9 @@ def main(argv=None):
                          "activate latent retrieval (needs a prior "
                          "results_all.h5 bank)")
     args = ap.parse_args(argv)
+    from representation_disentanglement_tpu.utils.profiling import (
+        enable_compile_cache)
+    enable_compile_cache()      # warm-start recompiles across CLI runs
     cfg = load_config(args.config)
     return run(cfg, ckpt_root=args.ckpt_root, eval_set=args.eval_set,
                eval_info=args.info)

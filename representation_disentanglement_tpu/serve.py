@@ -281,11 +281,14 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
 
 
 def main(argv=None):
+    from representation_disentanglement_tpu.utils.profiling import (
+        enable_compile_cache)
+    enable_compile_cache()      # warm-start recompiles across CLI runs
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", default="config.yaml")
     ap.add_argument("--missing", required=True,
                     help="comma-separated contrasts to zero-fill and "
-                         "synthesize (e.g. T1,FLAIR)")
+                         "synthesize (e.g. T1,T2_FLAIR)")
     ap.add_argument("--source", default=None,
                     help="present contrast whose anatomy drives the "
                          "synthesis (default: first non-missing)")

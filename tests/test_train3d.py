@@ -86,3 +86,32 @@ def test_train3d_grad_accumulation(rng):
     assert diff.max() <= 2.5e-4, f"max param deviation {diff.max():.2e}"
     frac = float((diff > 1e-5).mean())
     assert frac < 1e-3, f"{frac:.2e} of params deviate beyond 1e-5"
+
+
+@pytest.mark.slow
+def test_main3d_cli_train_resume_eval(tmp_path, capsys):
+    """3D driver CLI e2e: train 1 epoch -> checkpoint artifacts -> --resume
+    a second epoch (numeric epoch sort) -> eval prints a finite dice."""
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_3d import main
+
+    pytest.importorskip("h5py")
+    make_synthetic_dataset(str(tmp_path / "data"), "BraTS",
+                           ("T1", "T2"), "z-score", n_subj=4,
+                           shape=(32, 32, 32), slice_range=(8, 24), seed=4)
+    ckpt = str(tmp_path / "ckpt3d")
+    args = ["--data-path", str(tmp_path / "data"), "--contrasts", "T1", "T2",
+            "--epochs", "1", "--batch-size", "1", "--init-channels", "8",
+            "--image-size", "32", "32", "16", "--slab-start", "8",
+            "--ckpt-dir", ckpt]
+    main(args)
+    import os
+    files = os.listdir(ckpt)
+    assert "model_best.ckpt" in files
+    assert any(f.startswith("epoch") for f in files)
+
+    main(args[:5] + ["2"] + args[6:] + ["--resume"])
+    out = capsys.readouterr().out
+    assert "[resume] from epoch 1" in out
+    assert "dice" in out.lower()

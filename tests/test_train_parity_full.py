@@ -69,6 +69,11 @@ def _pin_ref_pairs(ref, pairs_iter):
 def _ref_train(ref, sd_out, xs_np, targets_np, mask_np, mask_img_np, lam,
                M, out_num_ch, steps, freeze=False, pin_pairs=None):
     dev = torch.device("cpu")
+    # Deterministic reference init: the trajectory tolerances below were
+    # measured for a FIXED init.  Without this, torch's global RNG gives a
+    # fresh init every run and the chaotic step-3 divergence of the M=4
+    # variant varies run-to-run around its tolerance (observed flake).
+    torch.manual_seed(0)
     model = ref.MultimodalModel(
         input_size=(H, W), modality_num=M, in_num_ch=7,
         out_num_ch=out_num_ch, s_num_ch=4, z_size=16, is_cond=True,
@@ -233,6 +238,11 @@ def _ours_train(sd, rng, xs_np, targets_np, mask_np, mask_img_np, lam, M,
 
 def _run_case(rng, ref_model_module, lam, M, out_num_ch, steps, B,
               freeze=False, rtol=2e-3, pairs=None):
+    # Test-LOCAL data stream: the shared session `rng` fixture's state
+    # depends on which tests ran before this one, so adding an unrelated
+    # rng-consuming test silently changed this test's data (and with it the
+    # chaotic trajectory divergence the tolerances were measured for).
+    rng = np.random.default_rng(10)
     xs_np = [rng.normal(size=(B, 7, H, W)).astype(np.float32) * 0.5
              for _ in range(M)]
     targets_np = rng.integers(0, 4, size=(B, 1, H, W)).astype(np.float32)
