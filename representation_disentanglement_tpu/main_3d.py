@@ -29,7 +29,11 @@ from representation_disentanglement_tpu.training.train3d import (
     create_state_3d, make_eval_step_3d, make_train_step_3d)
 
 
-def volume_loader(ds, batch_size, shuffle, seed=10):
+def volume_loader(ds, batch_size, shuffle, seed=10, drop_last=True):
+    """``drop_last=True`` for training (fixed batch shape = one compiled
+    executable, and sharded steps need the full batch); eval passes False
+    so a tail smaller than the batch (e.g. a 1-subject val fold) still
+    yields instead of silently evaluating nothing."""
     rng = np.random.default_rng(seed)
 
     def gen():
@@ -45,6 +49,8 @@ def volume_loader(ds, batch_size, shuffle, seed=10):
             if len(buf) == batch_size:
                 yield collate_volumes(buf)
                 buf = []
+        if buf and not drop_last:
+            yield collate_volumes(buf)
     return gen
 
 
@@ -69,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--depth-shards", type=int, default=0,
                     help="shard the volume depth axis over N devices for "
                          "BOTH training (shard_map + halo exchange) and eval")
+    ap.add_argument("--data-shards", type=int, default=0,
+                    help="additionally shard the batch over N devices "
+                         "(composed DP x depth-SP on an N x depth-shards "
+                         "mesh; requires --batch-size divisible by N)")
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step "
                          "(unsharded training only)")
@@ -105,23 +115,35 @@ def main(argv=None):
     state, tx = create_state_3d(model, jax.random.PRNGKey(10),
                                 jnp.asarray(sample["inputs"]))
     mesh = None
-    if args.depth_shards > 1:
+    if args.depth_shards > 1 or args.data_shards > 1:
         from representation_disentanglement_tpu.parallel.halo import (
-            make_depth_mesh)
+            make_depth_mesh, make_volume_mesh)
         from representation_disentanglement_tpu.training.train3d import (
             make_sharded_train_step_3d)
-        if D % args.depth_shards or (D // 16) % args.depth_shards:
+        nd = max(args.depth_shards, 1)
+        na = max(args.data_shards, 1)
+        if D % nd or (D // 16) % nd:
             raise ValueError(
                 f"depth {D} and {D}//16 must divide by --depth-shards "
-                f"{args.depth_shards} (parallel/halo.py constraints)")
+                f"{nd} (parallel/halo.py constraints)")
+        if args.batch_size % na:
+            raise ValueError(f"--batch-size {args.batch_size} must divide "
+                             f"by --data-shards {na}")
         if args.accum > 1:
             raise ValueError("--accum is not supported together with "
-                             "--depth-shards (the sharded step takes one "
-                             "batch per optimizer step)")
-        mesh = make_depth_mesh(args.depth_shards)
-        print(f"[mesh] depth-sharded training over {mesh.devices.size} "
-              f"devices (halo-exchange convs, psum'd loss reductions)")
-        step = make_sharded_train_step_3d(model, tx, mesh)
+                             "--depth-shards/--data-shards (the sharded "
+                             "step takes one batch per optimizer step)")
+        if na > 1:
+            mesh = make_volume_mesh(na, nd)
+            print(f"[mesh] composed {na}-way data x {nd}-way depth "
+                  f"training over {mesh.devices.size} devices")
+            step = make_sharded_train_step_3d(model, tx, mesh,
+                                              data_axis="data")
+        else:
+            mesh = make_depth_mesh(nd)
+            print(f"[mesh] depth-sharded training over {mesh.devices.size} "
+                  f"devices (halo-exchange convs, psum'd loss reductions)")
+            step = make_sharded_train_step_3d(model, tx, mesh)
     else:
         step = make_train_step_3d(model, tx, accum=args.accum)
     eval_step = make_eval_step_3d(model)
@@ -215,7 +237,8 @@ def main(argv=None):
     else:
         infer = lambda x: eval_step(state.params, x)[0]
     dices = []
-    for batch in volume_loader(val_ds, args.batch_size, False)():
+    for batch in volume_loader(val_ds, args.batch_size, False,
+                               drop_last=False)():
         probs = np.asarray(infer(jnp.asarray(batch["inputs"])))
         seg = batch["targets"][..., 0]
         for b in range(probs.shape[0]):

@@ -32,6 +32,20 @@ def make_depth_mesh(n: int, axis: str = "depth") -> Mesh:
     return Mesh(np.asarray(jax.devices()[:n]).reshape(n), (axis,))
 
 
+def make_volume_mesh(n_data: int, n_depth: int,
+                     axes: Tuple[str, str] = ("data", "depth")) -> Mesh:
+    """2D mesh composing batch data-parallelism with depth sharding: the
+    global batch splits over ``data`` while every volume's D axis splits
+    over ``depth`` (the gradient psum over ``data`` rides one ICI axis,
+    halo ppermutes ride the other)."""
+    n = n_data * n_depth
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(f"mesh {n_data}x{n_depth} needs {n} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(n_data, n_depth), axes)
+
+
 def sharded_nvnet_infer(model, variables, mesh: Mesh, axis: str = "depth"):
     """Returns a jitted fn(x[B, D, H, W, C]) -> (uout, vout, mu, logvar)
     with D sharded over `axis`.  Constraints: D and D//16 divisible by the

@@ -94,7 +94,8 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
                                clip_norm: float = 1.0,
                                kl_weight: float = 0.1,
                                recon_weight: float = 0.1,
-                               donate: bool = True):
+                               donate: bool = True,
+                               data_axis: str = None):
     """Depth-sharded training step (context parallelism for volumes).
 
     The volume's D axis shards over the ``axis`` mesh dimension; inside the
@@ -105,7 +106,15 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
     one-optimizer-step in tests/test_unet3d.py).  Per-device grads carry
     only the contributions flowing through that device's shard; the psum
     below assembles the total gradient, replicated, and Adam runs
-    identically everywhere."""
+    identically everywhere.
+
+    With ``data_axis`` (a 2D ``parallel.halo.make_volume_mesh`` mesh) the
+    batch additionally shards over that axis: per-data-row losses/grads are
+    computed exactly as above within each row's depth shards, then averaged
+    over the data axis — composed DP x SP, both collectives riding ICI.
+    The VAE eps / dropout rng is folded with the data-row index so samples
+    on different rows draw independent noise (rng=None stays deterministic:
+    z = mu, no dropout — the equivalence-test oracle)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -119,6 +128,8 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
                               kl_weight, recon_weight)
 
     def local_grads(params, x_local, t_local, rng):
+        if rng is not None and data_axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, x_local, t_local, rng)
         # with check_rep=False the transpose of the loss's psum/pmean
@@ -127,11 +138,17 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
         # the exact total gradient (verified vs the unsharded step in
         # tests/test_unet3d.py — a psum here would overcount by n_shards)
         grads = jax.lax.pmean(grads, axis)
+        if data_axis is not None:
+            # plain DP on top: global loss = mean of per-row local means
+            # (rows hold equal batch shares), grads likewise
+            loss = jax.lax.pmean(loss, data_axis)
+            aux = jax.lax.pmean(aux, data_axis)
+            grads = jax.lax.pmean(grads, data_axis)
         return loss, aux, grads
 
     sharded = shard_map(
         local_grads, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis), P()),
+        in_specs=(P(), P(data_axis, axis), P(data_axis, axis), P()),
         out_specs=(P(), P(), P()),
         check_rep=False)
 

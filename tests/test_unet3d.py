@@ -202,3 +202,41 @@ def test_depth_sharded_train_step_matches(rng):
     # near-zero grads can flip an element by up to 2*lr
     for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_composed_dp_depth_train_step_matches(rng):
+    """One optimizer step on a composed 2x4 (data x depth) mesh == the
+    unsharded step: DP batch sharding stacked on depth-halo SP, the full
+    'scaled variant' mesh (SURVEY §2.7 + §5.7).  rng=None keeps the VAE
+    at z = mu so sharded/unsharded draws are identical by construction."""
+    from representation_disentanglement_tpu.parallel.halo import (
+        make_volume_mesh)
+    from representation_disentanglement_tpu.training.train3d import (
+        create_state_3d, make_sharded_train_step_3d, make_train_step_3d)
+
+    Dd, Hh, Ww = 64, 16, 16   # 64/4=16 per depth shard (div 8), 64//16=4
+    model = NVNet3D(input_shape=(Dd, Hh, Ww), in_channels=2, out_channels=3,
+                    init_channels=8, dropout_p=0.0)
+    x = jnp.asarray(rng.normal(size=(2, Dd, Hh, Ww, 2)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, 4, size=(2, Dd, Hh, Ww, 1)).astype(
+        np.float32))
+    batch = {"inputs": x, "targets": seg}
+    state, tx = create_state_3d(model, jax.random.PRNGKey(0), x)
+
+    step1 = make_train_step_3d(model, tx, donate=False)
+    s1, m1 = step1(state, batch, None, jnp.float32(1e-4))
+
+    mesh = make_volume_mesh(2, 4)
+    stepc = make_sharded_train_step_3d(model, tx, mesh, donate=False,
+                                       data_axis="data")
+    sc, mc = stepc(state, batch, None, jnp.float32(1e-4))
+
+    np.testing.assert_allclose(float(mc["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mc["dice_loss"]),
+                               float(m1["dice_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(mc["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(sc.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
