@@ -226,12 +226,16 @@ def main(argv=None):
                          "monitor_metric": mean_loss,
                          "stat": {}}, is_best, args.ckpt_dir)
 
-    # eval (optionally depth-sharded; reuse the training mesh — the
-    # accum/depth-shards incompatibility already raised before training)
+    # eval (optionally depth-sharded).  NOT the training mesh: on a
+    # composed (data x depth) mesh sharded_nvnet_infer's specs only
+    # mention the depth axis, so every data row would redundantly run the
+    # identical eval forward — a depth-only mesh does the same work once.
     if args.depth_shards > 1:
         from representation_disentanglement_tpu.parallel.halo import (
-            sharded_nvnet_infer)
-        run = sharded_nvnet_infer(model, {"params": state.params}, mesh)
+            make_depth_mesh, sharded_nvnet_infer)
+        emesh = mesh if "data" not in mesh.axis_names \
+            else make_depth_mesh(args.depth_shards)
+        run = sharded_nvnet_infer(model, {"params": state.params}, emesh)
         # sharded_nvnet_infer returns raw logits; match make_eval_step_3d
         infer = lambda x: jax.nn.sigmoid(run(x)[0])
     else:

@@ -20,7 +20,7 @@ def workdir(tmp_path_factory):
     return d
 
 
-def _cfg(workdir, **kw):
+def _cfg(workdir, _name="config.yaml", **kw):
     d = dict(phase="train", load_yaml=True, epochs=1,
              dataset_name="BraTS", contrast_list=["T1", "T2"],
              norm_type="z-score", block_size=3,
@@ -42,7 +42,7 @@ def _cfg(workdir, **kw):
              ckpt_name="model_best.ckpt", ckpt_timelabel="e2e",
              effective_batch=4, log_every=0)
     d.update(kw)
-    p = workdir / "config.yaml"
+    p = workdir / _name
     p.write_text(yaml.dump(d))
     return str(p)
 
@@ -168,13 +168,14 @@ def test_cli_ncanda_cross_synthesis(tmp_path):
     assert np.isfinite(stat["recon_x_mix"]) and np.isfinite(stat["psnr"])
 
 
-@pytest.mark.slow
-def test_cli_serve_missing_modality(workdir):
-    """Serving CLI e2e: restore a checkpoint, zero-fill a contrast, write
-    re-assembled synth/recon/y volumes for every test-fold subject, and
-    match a direct model.synthesize call on the first batch."""
+@pytest.fixture(scope="module")
+def serve_env(workdir):
+    """Shared serving fixture: its OWN config file (config_serve.yaml — the
+    default config.yaml is rewritten by unrelated tests in this module), an
+    untrained-but-real checkpoint, and the encoder-z serving baseline run.
+    Both serve CLI tests consume this, so neither depends on the other
+    having run first (they survive -k selection and reordering)."""
     import jax
-    import jax.numpy as jnp
     from representation_disentanglement_tpu import serve as serve_mod
     from representation_disentanglement_tpu.config import (
         load_config, resolve_run)
@@ -185,8 +186,9 @@ def test_cli_serve_missing_modality(workdir):
     from representation_disentanglement_tpu.training.train import (
         create_train_state)
 
-    cfg_path = _cfg(workdir, phase="test", ckpt_timelabel="serve_run",
-                    model_name="ServeModel", load_yaml=False)
+    cfg_path = _cfg(workdir, _name="config_serve.yaml", phase="test",
+                    ckpt_timelabel="serve_run", model_name="ServeModel",
+                    load_yaml=False)
     root = str(workdir / "ckpt_serve")
     cfg = load_config(cfg_path)
     cfg.phase = "test"
@@ -209,7 +211,21 @@ def test_cli_serve_missing_modality(workdir):
     out_dir = str(workdir / "serve_out")
     serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
                     "--out-dir", out_dir, "--format", "npy"])
+    return dict(cfg_path=cfg_path, root=root, cfg=cfg, model=model,
+                state=state, ds=ds, out_dir=out_dir)
 
+
+@pytest.mark.slow
+def test_cli_serve_missing_modality(workdir, serve_env):
+    """Serving CLI e2e: restore a checkpoint, zero-fill a contrast, write
+    re-assembled synth/recon/y volumes for every test-fold subject, and
+    match a direct model.synthesize call on the first batch."""
+    import jax.numpy as jnp
+    from representation_disentanglement_tpu import serve as serve_mod
+
+    cfg, model, state, ds, out_dir = (
+        serve_env["cfg"], serve_env["model"], serve_env["state"],
+        serve_env["ds"], serve_env["out_dir"])
     rows = serve_mod._group_by_subject(ds.subj_list, ds.idx_list)
     D = len(next(iter(rows.values())))
     H, W = cfg.input_size
@@ -239,34 +255,17 @@ def test_cli_serve_missing_modality(workdir):
 
 
 @pytest.mark.slow
-def test_cli_serve_with_z_bank(workdir):
+def test_cli_serve_with_z_bank(workdir, serve_env):
     """--z-bank retrieval: missing modality z comes from the bank.  Oracle
     for --z-mode mean (retrieved z == bank mean, checked via a direct
     synthesize(z=...) call); nearest_neighbour exercised for execution."""
-    import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu import serve as serve_mod
-    from representation_disentanglement_tpu.config import (
-        load_config, resolve_run)
-    from representation_disentanglement_tpu.data.dataset import DataAll
-    from representation_disentanglement_tpu.main_missing import build_model
     from representation_disentanglement_tpu.training.checkpoint import (
         load_checkpoint, load_partial_params)
-    from representation_disentanglement_tpu.training.train import (
-        create_train_state)
 
-    # reuse the checkpoint written by test_cli_serve_missing_modality
-    cfg_path = _cfg(workdir, phase="test", ckpt_timelabel="serve_run",
-                    model_name="ServeModel", load_yaml=False)
-    root = str(workdir / "ckpt_serve")
-    cfg = load_config(cfg_path)
-    cfg.phase = "test"
-    cfg = resolve_run(cfg, ckpt_root=root).derive().validate()
-    if not os.path.isfile(os.path.join(cfg.ckpt_path, cfg.ckpt_name)):
-        pytest.skip("serve checkpoint fixture not present")
-    if not os.path.isdir(str(workdir / "serve_out")):
-        pytest.skip("serve_out fixture from the encoder-z serving test "
-                    "not present (it is the comparison baseline)")
+    cfg_path, root, cfg = (serve_env["cfg_path"], serve_env["root"],
+                           serve_env["cfg"])
 
     # synthetic latent bank with the results_all.h5 contract
     rng = np.random.default_rng(3)
@@ -285,22 +284,19 @@ def test_cli_serve_with_z_bank(workdir):
                     "--out-dir", out_nn, "--format", "npy",
                     "--z-bank", bank_path])
 
-    ds = DataAll(cfg.dataset_name, cfg.data_path, norm_type=cfg.norm_type,
-                 batch_size=cfg.batch_size, fold=cfg.fold, shuffle=False,
-                 block_size=cfg.block_size, contrast_list=cfg.contrast_list,
-                 image_size=cfg.input_size, seed=cfg.seed).test_dataset
+    ds = serve_env["ds"]
+    model = serve_env["model"]
     rows = serve_mod._group_by_subject(ds.subj_list, ds.idx_list)
     subj0, ii0 = next(iter(rows.items()))
 
-    # oracle for mean mode on the first batch
-    model = build_model(cfg)
+    # oracle for mean mode on the first batch — restore through the same
+    # checkpoint-load path the CLI uses (not the in-memory fixture state)
     batch = ds.get_batch(ii0[:cfg.batch_size])
     inputs, mask = batch["inputs"], batch["mask"]
     inputs[1] = 0.0
     mask[:, 1] = 0.0
     mask_img = (inputs[0, :, :, :, 0] == 0).astype(np.float32)
-    first = {k: batch[k] for k in ("inputs", "targets", "mask", "mask_img")}
-    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), first)
+    state = serve_env["state"]
     ckpt = load_checkpoint(cfg.ckpt_path, cfg.ckpt_name)
     params, _, _ = load_partial_params(state.params, ckpt.get("params"))
     bstats, _, _ = load_partial_params(state.batch_stats,
@@ -325,6 +321,6 @@ def test_cli_serve_with_z_bank(workdir):
     # NN mode executed and produced different volumes than encoder-z serving
     nn_vol = np.load(os.path.join(out_nn, f"{subj0}_T2_synth.npy"))
     assert np.isfinite(nn_vol).all()
-    enc_vol = np.load(os.path.join(str(workdir / "serve_out"),
+    enc_vol = np.load(os.path.join(serve_env["out_dir"],
                                    f"{subj0}_T2_synth.npy"))
     assert not np.allclose(nn_vol, enc_vol)

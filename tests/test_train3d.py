@@ -111,7 +111,9 @@ def test_main3d_cli_train_resume_eval(tmp_path, capsys):
     assert "model_best.ckpt" in files
     assert any(f.startswith("epoch") for f in files)
 
-    main(args[:5] + ["2"] + args[6:] + ["--resume"])
+    # same args with --epochs bumped 1 -> 2 (index 6 is the value)
+    assert args[5] == "--epochs"
+    main(args[:6] + ["2"] + args[7:] + ["--resume"])
     out = capsys.readouterr().out
     assert "[resume] from epoch 1" in out
     assert "dice" in out.lower()
