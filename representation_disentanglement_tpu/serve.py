@@ -146,9 +146,17 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
           out_dir: str, fmt: str = "auto",
           subjects: Sequence[str] | None = None,
           save_y: bool = True, z_bank: str | None = None,
-          z_mode: str = "nearest_neighbour") -> Dict[str, list]:
+          z_mode: str = "nearest_neighbour",
+          export_aot: str | None = None,
+          aot: str | None = None) -> Dict[str, list]:
     """Run missing-modality synthesis over the test fold.  Returns
-    {subject: [written paths]}."""
+    {subject: [written paths]}.
+
+    ``export_aot``: instead of serving, write an AOT artifact
+    (utils/aot.export_serve_step) for this config's batch shape and exit.
+    ``aot``: load such an artifact and use it as the serving step (the
+    model's Python code is then only needed for param-tree construction).
+    """
     contrasts = list(cfg.contrast_list)
     miss_idx = []
     for m in missing:
@@ -206,6 +214,24 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
     print(f"[serve] restored {n_res}/{n_tot} param tensors from "
           f"{os.path.join(cfg.ckpt_path, cfg.ckpt_name)}")
 
+    if (export_aot or aot) and z_bank:
+        raise ValueError("AOT artifacts cover the plain serving step; "
+                         "--z-bank retrieval is a live-bank computation")
+    if export_aot:
+        from representation_disentanglement_tpu.utils.aot import (
+            export_serve_step)
+        sample_b = ds.get_batch(rows[next(iter(rows))][:1] * cfg.batch_size)
+        sample_b = {k: sample_b[k]
+                    for k in ("inputs", "mask", "mask_img")}
+        blob = export_serve_step(model, cfg, source=src_idx,
+                                 sample=sample_b, params=params,
+                                 batch_stats=bstats, with_y=save_y)
+        with open(export_aot, "wb") as f:
+            f.write(blob)
+        print(f"[serve] wrote AOT artifact {export_aot} "
+              f"({len(blob) / 1e6:.2f} MB, batch {cfg.batch_size})")
+        return {}
+
     if z_bank:
         from representation_disentanglement_tpu.training.train import (
             load_vgg_constants, make_vgg_ctx)
@@ -217,6 +243,21 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
                                              z_mode, vgg_ctx, with_y=save_y)
         step = lambda p, bs, x, m, mi: ret_step(p, bs, x, m, mi,
                                                 bank_key, bank_z)
+    elif aot:
+        from representation_disentanglement_tpu.utils.aot import (
+            load_serve_step)
+        step, hdr = load_serve_step(aot)
+        if hdr["source"] != src_idx or hdr["with_y"] != save_y:
+            raise ValueError(
+                f"AOT artifact was exported for source={hdr['source']}, "
+                f"with_y={hdr['with_y']}; requested source={src_idx}, "
+                f"with_y={save_y}")
+        if hdr["inputs_shape"][1] != cfg.batch_size:
+            raise ValueError(
+                f"AOT artifact batch {hdr['inputs_shape'][1]} != config "
+                f"batch_size {cfg.batch_size}")
+        print(f"[serve] AOT step from {aot} (platforms "
+              f"{hdr['platforms']})")
     else:
         step = make_serve_step(model, cfg, src_idx, with_y=save_y)
     os.makedirs(out_dir, exist_ok=True)
@@ -307,6 +348,13 @@ def main(argv=None):
                          "of encoded from the zero-filled input")
     ap.add_argument("--z-mode", default="nearest_neighbour",
                     choices=("nearest_neighbour", "mean"))
+    ap.add_argument("--export-aot", default=None, metavar="PATH",
+                    help="write an ahead-of-time serving artifact "
+                         "(jax.export StableHLO; utils/aot.py) for this "
+                         "config's batch shape and exit")
+    ap.add_argument("--aot", default=None, metavar="PATH",
+                    help="serve with a previously exported AOT artifact "
+                         "instead of tracing the model")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -315,7 +363,8 @@ def main(argv=None):
     serve(cfg, [m for m in args.missing.split(",") if m],
           args.source, args.out_dir, fmt=args.format,
           subjects=args.subjects.split(",") if args.subjects else None,
-          save_y=not args.no_y, z_bank=args.z_bank, z_mode=args.z_mode)
+          save_y=not args.no_y, z_bank=args.z_bank, z_mode=args.z_mode,
+          export_aot=args.export_aot, aot=args.aot)
 
 
 if __name__ == "__main__":

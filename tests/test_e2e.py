@@ -324,3 +324,41 @@ def test_cli_serve_with_z_bank(workdir, serve_env):
     enc_vol = np.load(os.path.join(serve_env["out_dir"],
                                    f"{subj0}_T2_synth.npy"))
     assert not np.allclose(nn_vol, enc_vol)
+
+
+@pytest.mark.slow
+def test_cli_serve_aot_artifact(workdir, serve_env):
+    """AOT serving: --export-aot writes a jax.export StableHLO artifact;
+    --aot serves from it and reproduces the live-traced serving output
+    exactly; header mismatches (with_y) are rejected before execution."""
+    from representation_disentanglement_tpu import serve as serve_mod
+    from representation_disentanglement_tpu.utils.aot import read_header
+
+    cfg_path, root, cfg = (serve_env["cfg_path"], serve_env["root"],
+                           serve_env["cfg"])
+    art = str(workdir / "serve_B.rdx")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--export-aot", art])
+    with open(art, "rb") as f:
+        blob = f.read()
+    hdr = read_header(blob)
+    assert hdr["source"] == 0 and hdr["with_y"] is True
+    assert hdr["inputs_shape"][1] == cfg.batch_size
+
+    out_aot = str(workdir / "serve_out_aot")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--out-dir", out_aot, "--format", "npy", "--aot", art])
+
+    ds = serve_env["ds"]
+    rows = serve_mod._group_by_subject(ds.subj_list, ds.idx_list)
+    for subj in rows:
+        for name in (f"{subj}_T2_synth.npy", f"{subj}_T1_recon.npy",
+                     f"{subj}_y.npy"):
+            live = np.load(os.path.join(serve_env["out_dir"], name))
+            aot = np.load(os.path.join(out_aot, name))
+            np.testing.assert_allclose(aot, live, atol=1e-6)
+
+    # header guard: artifact was exported with the fused-y decode
+    with pytest.raises(ValueError, match="with_y"):
+        serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                        "--out-dir", out_aot, "--aot", art, "--no-y"])
