@@ -148,7 +148,8 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
           save_y: bool = True, z_bank: str | None = None,
           z_mode: str = "nearest_neighbour",
           export_aot: str | None = None,
-          aot: str | None = None) -> Dict[str, list]:
+          aot: str | None = None,
+          aot_platforms: Sequence[str] | None = None) -> Dict[str, list]:
     """Run missing-modality synthesis over the test fold.  Returns
     {subject: [written paths]}.
 
@@ -225,7 +226,8 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
                     for k in ("inputs", "mask", "mask_img")}
         blob = export_serve_step(model, cfg, source=src_idx,
                                  sample=sample_b, params=params,
-                                 batch_stats=bstats, with_y=save_y)
+                                 batch_stats=bstats, with_y=save_y,
+                                 platforms=aot_platforms)
         with open(export_aot, "wb") as f:
             f.write(blob)
         print(f"[serve] wrote AOT artifact {export_aot} "
@@ -352,6 +354,10 @@ def main(argv=None):
                     help="write an ahead-of-time serving artifact "
                          "(jax.export StableHLO; utils/aot.py) for this "
                          "config's batch shape and exit")
+    ap.add_argument("--aot-platforms", default=None, metavar="P1,P2",
+                    help="lowering targets for --export-aot (e.g. tpu,cpu "
+                         "to export for the serving fleet from a CPU box; "
+                         "default: the current backend)")
     ap.add_argument("--aot", default=None, metavar="PATH",
                     help="serve with a previously exported AOT artifact "
                          "instead of tracing the model")
@@ -364,7 +370,9 @@ def main(argv=None):
           args.source, args.out_dir, fmt=args.format,
           subjects=args.subjects.split(",") if args.subjects else None,
           save_y=not args.no_y, z_bank=args.z_bank, z_mode=args.z_mode,
-          export_aot=args.export_aot, aot=args.aot)
+          export_aot=args.export_aot, aot=args.aot,
+          aot_platforms=(args.aot_platforms.split(",")
+                         if args.aot_platforms else None))
 
 
 if __name__ == "__main__":
