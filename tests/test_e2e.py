@@ -362,3 +362,21 @@ def test_cli_serve_aot_artifact(workdir, serve_env):
     with pytest.raises(ValueError, match="with_y"):
         serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
                         "--out-dir", out_aot, "--aot", art, "--no-y"])
+
+    # cross-platform export: lowering for the TPU serving fleet works from
+    # this CPU box and the artifact still executes on the CPU platform
+    art2 = str(workdir / "serve_multi.rdx")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--export-aot", art2, "--aot-platforms", "cpu,tpu"])
+    with open(art2, "rb") as f:
+        hdr2 = read_header(f.read())
+    assert hdr2["platforms"] == ["cpu", "tpu"]
+    out_multi = str(workdir / "serve_out_multi")
+    serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
+                    "--out-dir", out_multi, "--format", "npy",
+                    "--aot", art2])
+    subj = next(iter(rows))
+    np.testing.assert_allclose(
+        np.load(os.path.join(out_multi, f"{subj}_T2_synth.npy")),
+        np.load(os.path.join(serve_env["out_dir"], f"{subj}_T2_synth.npy")),
+        atol=1e-6)
