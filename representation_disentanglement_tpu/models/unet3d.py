@@ -212,7 +212,8 @@ class NVNet3D(nn.Module):
 
 
 def nvnet_loss(uout, vout, mu, logvar, seg_target, x_input,
-               kl_weight: float = 0.1, recon_weight: float = 0.1):
+               kl_weight: float = 0.1, recon_weight: float = 0.1,
+               data_axis=None):
     """Standard Myronenko NVNet loss (the reference ships no 3D driver):
     3-class soft dice on sigmoid(uout) + L2 VAE recon + KL.
 
@@ -220,12 +221,21 @@ def nvnet_loss(uout, vout, mu, logvar, seg_target, x_input,
     depth mesh axis, parallel/halo.py) the dice numerator/denominator and
     the recon mean reduce GLOBALLY via psum/pmean — dice is a ratio of
     whole-volume sums, so per-shard dice would be wrong.  mu/logvar are
-    already replicated (global_mean3d pmeans inside the encoder)."""
+    already replicated (global_mean3d pmeans inside the encoder).
+
+    ``data_axis`` (composed DP x depth mesh): the batch also shards over a
+    data mesh axis, and dice is a nonlinear ratio of batch-pooled sums — a
+    mean of per-row dices is NOT the unsharded global-batch dice.  The
+    num/den psum and the recon/KL means therefore reduce over the data
+    axis too, so the composed step optimizes the exact loss the unsharded
+    step does (the gradient assembly in train3d.local_grads — pmean over
+    every sharded axis — is consistent with forward psum AND pmean: the
+    shard_map transpose of either re-broadcasts summed cotangents)."""
     from representation_disentanglement_tpu.ops.conv3d import (
         current_depth_axis)
-    axis = current_depth_axis()
-    gsum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
-    gmean = (lambda v: jax.lax.pmean(v, axis)) if axis else (lambda v: v)
+    axes = tuple(a for a in (current_depth_axis(), data_axis) if a)
+    gsum = (lambda v: jax.lax.psum(v, axes)) if axes else (lambda v: v)
+    gmean = (lambda v: jax.lax.pmean(v, axes)) if axes else (lambda v: v)
     p = jax.nn.sigmoid(uout.astype(jnp.float32))
     dice = 0.0
     for i in range(uout.shape[-1]):
@@ -234,11 +244,16 @@ def nvnet_loss(uout, vout, mu, logvar, seg_target, x_input,
         den = gsum(jnp.sum(jnp.square(p[..., i]) + jnp.square(gt_i)))
         dice += 1.0 - num / (den + 1e-6)
     dice = dice / uout.shape[-1]
-    n_shards = jax.lax.axis_size(axis) if axis else 1
+    depth_axis = current_depth_axis()
+    n_shards = jax.lax.axis_size(depth_axis) if depth_axis else 1
     n = x_input.size / x_input.shape[0] * n_shards     # global volume size
     recon = gmean(jnp.mean(jnp.square(vout.astype(jnp.float32)
                                       - x_input.astype(jnp.float32))))
+    # KL is replicated over depth (mu/logvar come from a pmean'd encoder)
+    # but differs per data row: mean it over the data axis (equal shares)
     kl = jnp.mean(jnp.sum(
         jnp.exp(logvar) + jnp.square(mu) - 1.0 - logvar, axis=-1)) / n
+    if data_axis is not None:
+        kl = jax.lax.pmean(kl, data_axis)
     return dice + recon_weight * recon + kl_weight * kl, {
         "dice_loss": dice, "vae_recon": recon, "kl": kl}

@@ -109,9 +109,12 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
     identically everywhere.
 
     With ``data_axis`` (a 2D ``parallel.halo.make_volume_mesh`` mesh) the
-    batch additionally shards over that axis: per-data-row losses/grads are
-    computed exactly as above within each row's depth shards, then averaged
-    over the data axis — composed DP x SP, both collectives riding ICI.
+    batch additionally shards over that axis — composed DP x SP, both
+    collectives riding ICI.  The loss reductions (dice num/den psum,
+    recon/KL means) extend over the data axis INSIDE nvnet_loss, because
+    dice is a nonlinear ratio of batch-pooled sums: averaging per-row
+    dices after the fact would optimize a different loss than the
+    unsharded step (mean-of-ratios vs ratio-of-sums).
     The VAE eps / dropout rng is folded with the data-row index so samples
     on different rows draw independent noise (rng=None stays deterministic:
     z = mu, no dropout — the equivalence-test oracle)."""
@@ -125,7 +128,7 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
             uout, vout, mu, logvar = model.apply(
                 {"params": params}, x_local, train=True, rng=rng)
             return nvnet_loss(uout, vout, mu, logvar, t_local, x_local,
-                              kl_weight, recon_weight)
+                              kl_weight, recon_weight, data_axis=data_axis)
 
     def local_grads(params, x_local, t_local, rng):
         if rng is not None and data_axis is not None:
@@ -139,10 +142,10 @@ def make_sharded_train_step_3d(model: NVNet3D, tx, mesh, axis: str = "depth",
         # tests/test_unet3d.py — a psum here would overcount by n_shards)
         grads = jax.lax.pmean(grads, axis)
         if data_axis is not None:
-            # plain DP on top: global loss = mean of per-row local means
-            # (rows hold equal batch shares), grads likewise
-            loss = jax.lax.pmean(loss, data_axis)
-            aux = jax.lax.pmean(aux, data_axis)
+            # loss/aux are already globally reduced inside nvnet_loss
+            # (replicated across rows); only the grads still need the
+            # data-axis assembly (pmean over every forward-reduced axis
+            # turns the transpose's summed cotangents into exact totals)
             grads = jax.lax.pmean(grads, data_axis)
         return loss, aux, grads
 
