@@ -188,12 +188,48 @@ def main(argv=None):
         print(f"[resume] from epoch {start_epoch} ({name}, "
               f"best monitor {resumed_monitor:.4f})")
 
+    # validation forward, built ONCE (params passed per call, so the same
+    # compiled executable serves every epoch).  Optionally depth-sharded —
+    # but NOT on the training mesh when it is composed (data x depth):
+    # sharded_nvnet_infer_fn's specs only mention the depth axis, so every
+    # data row would redundantly run the identical eval forward; a
+    # depth-only mesh does the same work once.
+    if args.depth_shards > 1:
+        from representation_disentanglement_tpu.parallel.halo import (
+            make_depth_mesh, sharded_nvnet_infer_fn)
+        emesh = mesh if mesh is not None and "data" not in mesh.axis_names \
+            else make_depth_mesh(args.depth_shards)
+        run = sharded_nvnet_infer_fn(model, emesh)
+        # returns raw logits; match make_eval_step_3d's sigmoid
+        infer = lambda p, x: jax.nn.sigmoid(run({"params": p}, x)[0])
+    else:
+        infer = lambda p, x: eval_step(p, x)[0]
+
+    def validate(params):
+        """Mean per-class dice over the val fold (reference dice semantics:
+        +1 smoothing, classes 1-3, threshold 0.5 — src/util.py:980-992)."""
+        dices = []
+        for batch in volume_loader(val_ds, args.batch_size, False,
+                                   drop_last=False)():
+            probs = np.asarray(infer(params, jnp.asarray(batch["inputs"])))
+            seg = batch["targets"][..., 0]
+            for b in range(probs.shape[0]):
+                for c in range(3):
+                    gt = seg[b] == c + 1
+                    pr = probs[b, ..., c] > 0.5
+                    inter = np.logical_and(gt, pr).sum()
+                    dices.append((2 * inter + 1) / (gt.sum() + pr.sum() + 1))
+        return float(np.mean(dices)) if dices else float("nan")
+
+    from representation_disentanglement_tpu.training.stats import (
+        save_result_stat)
     os.makedirs(args.ckpt_dir, exist_ok=True)
     key = jax.random.PRNGKey(10)
     best = resumed_monitor
+    val_dice = float("nan")
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        losses = []
+        terms = []
         micro = []
         for batch in volume_loader(train_ds, args.batch_size, True,
                                    seed=10 + epoch)():
@@ -207,51 +243,43 @@ def main(argv=None):
                 micro = []
             key, sub = jax.random.split(key)
             state, m = step(state, jb, sub, jnp.float32(args.lr))
-            losses.append(float(m["loss"]))
+            terms.append({k: float(v) for k, v in m.items()})
         if micro:
             print(f"[accum] dropping {len(micro)} leftover microbatch(es) "
                   f"at epoch end (epoch yielded a non-multiple of --accum)")
             micro = []
-        if not losses:
+        if not terms:
             raise ValueError(
                 f"no optimizer step ran in epoch {epoch}: fewer batches "
                 f"than --accum {args.accum}")
-        mean_loss = float(np.mean(losses))
+        stat_train = {k: float(np.mean([t[k] for t in terms]))
+                      for k in terms[0]}
+        mean_loss = stat_train["loss"]
+
+        val_dice = validate(state.params)
+        # monitor = 1 - dice so lower-is-better matches the reference's
+        # best-checkpoint convention (and the resume path's min());
+        # a val fold without positives (nan) falls back to train loss
+        monitor = 1.0 - val_dice if np.isfinite(val_dice) else mean_loss
         print(f"epoch {epoch}: loss {mean_loss:.4f} "
-              f"({time.time() - t0:.1f}s, {len(losses)} steps)")
-        is_best = mean_loss <= best
-        best = min(best, mean_loss)
+              f"val dice {val_dice:.4f} "
+              f"({time.time() - t0:.1f}s, {len(terms)} steps)")
+        # one row per epoch with a single schema: stat.csv's reference
+        # format (training/stats.py) writes the header once, from the
+        # first row's keys, and appends later rows positionally — so the
+        # val metric joins the train terms instead of a second row shape
+        save_result_stat(dict(stat_train, val_dice=val_dice),
+                         args.ckpt_dir, info=f"epoch[{epoch:2d}]")
+        is_best = monitor <= best
+        best = min(best, monitor)
         save_checkpoint({"epoch": epoch, "params": state.params,
                          "opt_state": state.opt_state,
-                         "monitor_metric": mean_loss,
-                         "stat": {}}, is_best, args.ckpt_dir)
+                         "monitor_metric": monitor,
+                         "stat": stat_train}, is_best, args.ckpt_dir)
 
-    # eval (optionally depth-sharded).  NOT the training mesh: on a
-    # composed (data x depth) mesh sharded_nvnet_infer's specs only
-    # mention the depth axis, so every data row would redundantly run the
-    # identical eval forward — a depth-only mesh does the same work once.
-    if args.depth_shards > 1:
-        from representation_disentanglement_tpu.parallel.halo import (
-            make_depth_mesh, sharded_nvnet_infer)
-        emesh = mesh if "data" not in mesh.axis_names \
-            else make_depth_mesh(args.depth_shards)
-        run = sharded_nvnet_infer(model, {"params": state.params}, emesh)
-        # sharded_nvnet_infer returns raw logits; match make_eval_step_3d
-        infer = lambda x: jax.nn.sigmoid(run(x)[0])
-    else:
-        infer = lambda x: eval_step(state.params, x)[0]
-    dices = []
-    for batch in volume_loader(val_ds, args.batch_size, False,
-                               drop_last=False)():
-        probs = np.asarray(infer(jnp.asarray(batch["inputs"])))
-        seg = batch["targets"][..., 0]
-        for b in range(probs.shape[0]):
-            for c in range(3):
-                gt = seg[b] == c + 1
-                pr = probs[b, ..., c] > 0.5
-                inter = np.logical_and(gt, pr).sum()
-                dices.append((2 * inter + 1) / (gt.sum() + pr.sum() + 1))
-    print(f"val mean dice: {np.mean(dices):.4f}")
+    if start_epoch >= args.epochs:        # eval-only invocation
+        val_dice = validate(state.params)
+    print(f"val mean dice: {val_dice:.4f}")
 
 
 if __name__ == "__main__":

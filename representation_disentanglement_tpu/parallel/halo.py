@@ -46,9 +46,11 @@ def make_volume_mesh(n_data: int, n_depth: int,
     return Mesh(np.asarray(devs[:n]).reshape(n_data, n_depth), axes)
 
 
-def sharded_nvnet_infer(model, variables, mesh: Mesh, axis: str = "depth"):
-    """Returns a jitted fn(x[B, D, H, W, C]) -> (uout, vout, mu, logvar)
-    with D sharded over `axis`.  Constraints: D and D//16 divisible by the
+def sharded_nvnet_infer_fn(model, mesh: Mesh, axis: str = "depth"):
+    """Returns a jitted fn(variables, x[B, D, H, W, C]) -> (uout, vout, mu,
+    logvar) with D sharded over `axis`.  Variables are passed per call so
+    one compiled executable serves every epoch's params (a per-epoch
+    closure would recompile).  Constraints: D and D//16 divisible by the
     mesh size; per-shard depth divisible by 8 (3 stride-2 stages)."""
 
     def local_fwd(variables, x_local):
@@ -62,9 +64,15 @@ def sharded_nvnet_infer(model, variables, mesh: Mesh, axis: str = "depth"):
         check_rep=False)
 
     @jax.jit
-    def run(x):
+    def run(variables, x):
         x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
         v = jax.device_put(variables, NamedSharding(mesh, P()))
         return fn(v, x)
 
     return run
+
+
+def sharded_nvnet_infer(model, variables, mesh: Mesh, axis: str = "depth"):
+    """`sharded_nvnet_infer_fn` with `variables` bound at construction."""
+    return functools.partial(sharded_nvnet_infer_fn(model, mesh, axis),
+                             variables)

@@ -110,6 +110,14 @@ def test_main3d_cli_train_resume_eval(tmp_path, capsys):
     files = os.listdir(ckpt)
     assert "model_best.ckpt" in files
     assert any(f.startswith("epoch") for f in files)
+    # per-epoch stat.csv logging (reference save_result_stat format):
+    # one train row (loss terms) + one val row (val_dice) per epoch
+    assert "stat.csv" in files
+    with open(os.path.join(ckpt, "stat.csv")) as f:
+        csv = f.read()
+    assert "dice_loss" in csv and "val_dice" in csv
+    out1 = capsys.readouterr().out
+    assert "val dice" in out1         # per-epoch val monitoring
 
     # same args with --epochs bumped 1 -> 2 (index 6 is the value)
     assert args[5] == "--epochs"
