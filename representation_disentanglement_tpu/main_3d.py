@@ -180,11 +180,21 @@ def main(argv=None):
         # `best` tracks the best-so-far monitor (model_best.ckpt), which may
         # be better than the latest epoch we resume the state from
         try:
-            resumed_monitor = float(load_checkpoint(args.ckpt_dir).get(
-                "monitor_metric", float("inf")))
+            best_ckpt = load_checkpoint(args.ckpt_dir)
         except ValueError:
-            resumed_monitor = float(ckpt.get("monitor_metric",
-                                             float("inf")))
+            best_ckpt = ckpt
+        resumed_monitor = float(best_ckpt.get("monitor_metric",
+                                              float("inf")))
+        # checkpoints written before val-dice monitoring carry a train-loss
+        # monitor_metric (no monitor_is_val_dice tag, stored as an int —
+        # flax msgpack cannot round-trip str leaves): incommensurable with
+        # 1 - val_dice, so restart the best tracking instead of min()-ing
+        # apples against oranges
+        if int(best_ckpt.get("monitor_is_val_dice", 0)) != 1:
+            print("[resume] checkpoint monitor is not 1-val_dice "
+                  "(train-loss era or no-positives fold); resetting "
+                  "best-monitor tracking")
+            resumed_monitor = float("inf")
         print(f"[resume] from epoch {start_epoch} ({name}, "
               f"best monitor {resumed_monitor:.4f})")
 
@@ -195,13 +205,21 @@ def main(argv=None):
     # data row would redundantly run the identical eval forward; a
     # depth-only mesh does the same work once.
     if args.depth_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
         from representation_disentanglement_tpu.parallel.halo import (
             make_depth_mesh, sharded_nvnet_infer_fn)
         emesh = mesh if mesh is not None and "data" not in mesh.axis_names \
             else make_depth_mesh(args.depth_shards)
         run = sharded_nvnet_infer_fn(model, emesh)
+        # params trained on the composed (data x depth) mesh are committed
+        # to MORE devices than the depth-only eval mesh; a committed array
+        # entering run()'s jit raises "incompatible devices", so reshard
+        # OUTSIDE the jit (no-op when train and eval mesh coincide)
+        ev_spec = NamedSharding(emesh, PartitionSpec())
+        reshard = lambda p: jax.device_put(p, ev_spec)
         # returns raw logits; match make_eval_step_3d's sigmoid
-        infer = lambda p, x: jax.nn.sigmoid(run({"params": p}, x)[0])
+        infer = lambda p, x: jax.nn.sigmoid(
+            run({"params": reshard(p)}, x)[0])
     else:
         infer = lambda p, x: eval_step(p, x)[0]
 
@@ -243,7 +261,12 @@ def main(argv=None):
                 micro = []
             key, sub = jax.random.split(key)
             state, m = step(state, jb, sub, jnp.float32(args.lr))
-            terms.append({k: float(v) for k, v in m.items()})
+            # one device->host round trip per step: stack the metric
+            # scalars on device, fetch the vector (a per-key float() would
+            # sync once per metric through the tunnel)
+            mkeys = sorted(m)
+            mvals = np.asarray(jnp.stack([m[k] for k in mkeys]))
+            terms.append(dict(zip(mkeys, map(float, mvals))))
         if micro:
             print(f"[accum] dropping {len(micro)} leftover microbatch(es) "
                   f"at epoch end (epoch yielded a non-multiple of --accum)")
@@ -260,7 +283,8 @@ def main(argv=None):
         # monitor = 1 - dice so lower-is-better matches the reference's
         # best-checkpoint convention (and the resume path's min());
         # a val fold without positives (nan) falls back to train loss
-        monitor = 1.0 - val_dice if np.isfinite(val_dice) else mean_loss
+        monitor_is_val = int(np.isfinite(val_dice))
+        monitor = 1.0 - val_dice if monitor_is_val else mean_loss
         print(f"epoch {epoch}: loss {mean_loss:.4f} "
               f"val dice {val_dice:.4f} "
               f"({time.time() - t0:.1f}s, {len(terms)} steps)")
@@ -275,6 +299,7 @@ def main(argv=None):
         save_checkpoint({"epoch": epoch, "params": state.params,
                          "opt_state": state.opt_state,
                          "monitor_metric": monitor,
+                         "monitor_is_val_dice": monitor_is_val,
                          "stat": stat_train}, is_best, args.ckpt_dir)
 
     if start_epoch >= args.epochs:        # eval-only invocation

@@ -258,6 +258,12 @@ def serve(cfg: Config, missing: Sequence[str], source: str | None,
             raise ValueError(
                 f"AOT artifact batch {hdr['inputs_shape'][1]} != config "
                 f"batch_size {cfg.batch_size}")
+        if hdr.get("compute_dtype", cfg.compute_dtype) != cfg.compute_dtype:
+            raise ValueError(
+                f"AOT artifact was exported with compute_dtype="
+                f"{hdr['compute_dtype']!r} baked into its cast; config "
+                f"requests {cfg.compute_dtype!r} — re-export or match the "
+                f"config")
         print(f"[serve] AOT step from {aot} (platforms "
               f"{hdr['platforms']})")
     else:

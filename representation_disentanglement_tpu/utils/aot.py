@@ -20,7 +20,7 @@ Usage (see also ``serve.py --export-aot / --aot``)::
                              platforms=("tpu", "cpu"))
     open("serve_B16.rdx", "wb").write(blob)
     # ... on the serving host (no model code needed):
-    step = load_serve_step("serve_B16.rdx")
+    step, header = load_serve_step("serve_B16.rdx")
     x_hat, y = step(params, bstats, inputs, mask, mask_img)
 """
 

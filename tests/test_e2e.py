@@ -363,6 +363,15 @@ def test_cli_serve_aot_artifact(workdir, serve_env):
         serve_mod.main([cfg_path, "--missing", "T2", "--ckpt-root", root,
                         "--out-dir", out_aot, "--aot", art, "--no-y"])
 
+    # header guard: the artifact bakes in its compute_dtype cast — a config
+    # requesting a different dtype must be rejected, not silently served
+    import copy
+    cfg_flip = copy.deepcopy(cfg)
+    cfg_flip.compute_dtype = ("float32" if cfg.compute_dtype == "bfloat16"
+                              else "bfloat16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        serve_mod.serve(cfg_flip, ["T2"], None, out_aot, fmt="npy", aot=art)
+
     # cross-platform export: lowering for the TPU serving fleet works from
     # this CPU box and the artifact still executes on the CPU platform
     art2 = str(workdir / "serve_multi.rdx")

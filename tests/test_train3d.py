@@ -125,3 +125,31 @@ def test_main3d_cli_train_resume_eval(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[resume] from epoch 1" in out
     assert "dice" in out.lower()
+
+
+@pytest.mark.slow
+def test_main3d_cli_composed_mesh(tmp_path, capsys):
+    """CLI e2e on the composed (data x depth) mesh: training shards batch
+    AND depth, and the per-epoch validation (depth-only submesh) must
+    reshard the composed-mesh params outside its jit — the exact path that
+    raised 'incompatible devices' before the explicit device_put."""
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_3d import main
+
+    pytest.importorskip("h5py")
+    make_synthetic_dataset(str(tmp_path / "data"), "BraTS",
+                           ("T1", "T2"), "z-score", n_subj=4,
+                           shape=(32, 32, 32), slice_range=(8, 24), seed=4)
+    ckpt = str(tmp_path / "ckpt3d")
+    # D=32: 32 % 2 == 0 and (32//16) % 2 == 0 (halo constraints)
+    main(["--data-path", str(tmp_path / "data"), "--contrasts", "T1", "T2",
+          "--epochs", "1", "--batch-size", "2", "--init-channels", "8",
+          "--image-size", "32", "32", "32", "--slab-start", "0",
+          "--data-shards", "2", "--depth-shards", "2",
+          "--ckpt-dir", ckpt])
+    out = capsys.readouterr().out
+    assert "[mesh] composed 2-way data x 2-way depth" in out
+    assert "val dice" in out
+    import os
+    assert "model_best.ckpt" in os.listdir(ckpt)

@@ -267,6 +267,8 @@ def _run_case(rng, ref_model_module, lam, M, out_num_ch, steps, B,
     print("reference:", ref_losses)
     print("ours     :", my_losses)
     if np.ndim(rtol):              # per-step tolerances (chaotic growth)
+        assert len(rtol) == len(my_losses) == len(ref_losses), (
+            "one rtol per step — a short list would silently skip steps")
         for k, (mine, ref) in enumerate(zip(my_losses, ref_losses)):
             np.testing.assert_allclose(mine, ref, rtol=rtol[k],
                                        err_msg=f"step {k}")

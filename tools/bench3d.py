@@ -42,8 +42,10 @@ def bench_ours(D, H, W, in_ch, out_ch, init_ch, batch, steps, dtype):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, D, H, W, in_ch)),
                     jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
-    t = jnp.asarray(
-        (rng.standard_normal((batch, D, H, W, out_ch)) > 1.0), jnp.float32)
+    # a 0..out_ch label volume: nvnet_loss reads targets[..., 0] as class
+    # labels (gt_i = labels == i+1), matching the driver's semantics
+    t = jnp.asarray(rng.integers(0, out_ch + 1, size=(batch, D, H, W, 1))
+                    .astype(np.float32))
     batch_d = {"inputs": x, "targets": t}
 
     state, tx = create_state_3d(model, jax.random.PRNGKey(10), x)
@@ -101,16 +103,26 @@ def bench_reference(D, H, W, in_ch, out_ch, init_ch, batch, steps=1):
     model = ref.NVNet3D(input_shape=(H, W, D), in_channels=in_ch,
                         out_channels=out_ch, init_channels=init_ch)
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    rng = np.random.default_rng(0)
     x = torch.randn(batch, in_ch, H, W, D)
-    t = (torch.randn(batch, out_ch, H, W, D) > 1.0).float()
+    # same label-volume semantics as bench_ours / models.unet3d.nvnet_loss:
+    # per-class soft dice over gt_i = (labels == i+1)
+    t = torch.from_numpy(
+        rng.integers(0, out_ch + 1, size=(batch, H, W, D)).astype(
+            np.float32))
 
     def one_iter():
         uout, vout, mu, logvar = model(x)
         pred = torch.sigmoid(uout)
-        inter = (pred * t).sum()
-        dice = 1 - 2 * inter / (pred.pow(2).sum() + t.pow(2).sum() + 1e-8)
+        dice = 0.0
+        for i in range(out_ch):
+            gt = (t == i + 1).float()
+            num = 2.0 * (pred[:, i] * gt).sum()
+            den = (pred[:, i].pow(2) + gt.pow(2)).sum()
+            dice = dice + 1.0 - num / (den + 1e-6)
+        dice = dice / out_ch
         n = x.numel() / x.shape[0]
-        kl = (mu.pow(2) + logvar.exp() - logvar - 1).sum() / n
+        kl = ((mu.pow(2) + logvar.exp() - logvar - 1).sum(-1).mean()) / n
         l2 = (vout - x).pow(2).mean()
         (dice + 0.1 * kl + 0.1 * l2).backward()
         opt.step()
