@@ -266,6 +266,13 @@ def main(argv=None):
             # sync once per metric through the tunnel)
             mkeys = sorted(m)
             mvals = np.asarray(jnp.stack([m[k] for k in mkeys]))
+            if not np.isfinite(mvals).all():
+                # §5.3 failure detection: halt with context instead of
+                # training onward on NaN (the 2D driver does the same)
+                raise FloatingPointError(
+                    f"non-finite metric at epoch {epoch} step "
+                    f"{len(terms)}: "
+                    f"{dict(zip(mkeys, map(float, mvals)))}")
             terms.append(dict(zip(mkeys, map(float, mvals))))
         if micro:
             print(f"[accum] dropping {len(micro)} leftover microbatch(es) "

@@ -253,6 +253,19 @@ def test_cli_serve_missing_modality(workdir, serve_env):
         :cfg.batch_size]
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # --batch overrides the dispatch batch (the serving-throughput lever,
+    # PERF.md sweep) without changing any written volume
+    out_b = str(workdir / "serve_out_b")
+    serve_mod.main([serve_env["cfg_path"], "--missing", "T2",
+                    "--ckpt-root", serve_env["root"], "--out-dir", out_b,
+                    "--format", "npy", "--batch",
+                    str(2 * cfg.batch_size)])
+    for subj in rows:
+        np.testing.assert_allclose(
+            np.load(os.path.join(out_b, f"{subj}_T2_synth.npy")),
+            np.load(os.path.join(out_dir, f"{subj}_T2_synth.npy")),
+            atol=1e-5)
+
 
 @pytest.mark.slow
 def test_cli_serve_with_z_bank(workdir, serve_env):
