@@ -36,6 +36,8 @@ try:
 except ImportError:                                   # pragma: no cover
     h5py = None
 
+from representation_disentanglement_tpu import native
+
 
 def load_idx_list(file_path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Parse a fold txt of ``subj_id slice_idx`` rows (src/util.py:718-720)."""
@@ -147,7 +149,8 @@ class SliceDataset:
                 key = f"{subj}/{contrast}"
                 if key in self.store:
                     packed["vols"][(subj, contrast)] = np.ascontiguousarray(
-                        np.transpose(self.store.get(key), (2, 0, 1)))
+                        np.transpose(self.store.get(key), (2, 0, 1)),
+                        dtype=np.float32)
             if tkey is not None and f"{subj}/{tkey}" in self.store:
                 t = np.ascontiguousarray(np.transpose(
                     self.store.get(f"{subj}/{tkey}"), (2, 0, 1)))
@@ -155,6 +158,9 @@ class SliceDataset:
                     t = t.copy()
                     t[t == 4] = 3.0
                 packed["tgts"][subj] = t
+        H, W = self.image_size
+        packed["native_ok"] = native.available() and all(
+            v.shape[1:] == (H, W) for v in packed["vols"].values())
         self._packed = packed
 
     def get_batch(self, indices: Sequence[int]) -> dict:
@@ -166,7 +172,14 @@ class SliceDataset:
         H, W = self.image_size
         Bn = len(indices)
         Mn = len(self.contrast_list)
-        inputs = np.zeros((Mn, Bn, H, W, bc), np.float32)
+        # native path: one threaded C++ call packs (and zero-fills) the
+        # whole [M*B] task grid; Python only resolves pointers
+        use_native = bool(self._packed["native_ok"])
+        if use_native:
+            inputs = np.empty((Mn, Bn, H, W, bc), np.float32)
+            ptrs = np.zeros(Mn * Bn, np.uint64)
+        else:
+            inputs = np.zeros((Mn, Bn, H, W, bc), np.float32)
         targets = np.zeros((Bn, H, W, 1), np.float32)
         mask = np.zeros((Bn, Mn), np.float32)
         subj_ids, slice_idxs = [], []
@@ -177,14 +190,25 @@ class SliceDataset:
             slice_idxs.append(sl)
             for mi, contrast in enumerate(self.contrast_list):
                 vol = self._packed["vols"].get((subj, contrast))
-                if vol is not None:
+                if vol is None:
+                    continue
+                mask[j, mi] = 1.0
+                if use_native:
+                    if sl - b < 0 or sl + b + 1 > vol.shape[0]:
+                        raise ValueError(
+                            f"slice block [{sl - b}, {sl + b}] outside "
+                            f"volume depth {vol.shape[0]} for {subj}")
+                    ptrs[mi * Bn + j] = (vol.ctypes.data
+                                         + (sl - b) * H * W * 4)
+                else:
                     # contiguous depth block -> [bc, H, W] -> [H, W, bc]
                     inputs[mi, j] = np.transpose(
                         vol[sl - b:sl + b + 1], (1, 2, 0))
-                    mask[j, mi] = 1.0
             tgt = self._packed["tgts"].get(subj)
             if tgt is not None:
                 targets[j, :, :, 0] = tgt[sl]
+        if use_native:
+            native.gather_blocks(ptrs, inputs.reshape(Mn * Bn, H, W, bc))
         if self.dropoff:
             for j in range(Bn):
                 if mask[j].sum() > 1 and self.rng.random() > 0.8:

@@ -47,14 +47,21 @@ def test_loader_uses_fast_path(ds):
 
 
 def test_fast_path_throughput(ds):
-    """The vectorized gather must be several times faster per batch."""
+    """The vectorized gather must be faster per batch.  Wall-clock on a
+    shared host is noisy at these tiny shapes, so compare best-of-5
+    interleaved trials rather than a single pass."""
     ds.get_batch([0])                       # pack once
-    t0 = time.perf_counter()
-    for _ in range(20):
-        ds.get_batch(list(range(8)))
-    fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(20):
-        [ds[i] for i in range(8)]
-    slow = time.perf_counter() - t0
+    [ds[i] for i in range(8)]               # warm the per-sample path too
+
+    def best_of(fn, trials=5, reps=20):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fast = best_of(lambda: ds.get_batch(list(range(8))))
+    slow = best_of(lambda: [ds[i] for i in range(8)])
     assert fast < slow, (fast, slow)
