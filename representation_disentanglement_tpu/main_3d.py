@@ -150,6 +150,8 @@ def main(argv=None):
 
     from representation_disentanglement_tpu.training.checkpoint import (
         load_checkpoint, save_checkpoint)
+    from representation_disentanglement_tpu.utils.preempt import (
+        PREEMPT_NAME, clear_stale_preempt, latest_resume_checkpoint)
     start_epoch = 0
     resumed_monitor = float("inf")
     if args.resume:
@@ -164,7 +166,11 @@ def main(argv=None):
             key=lambda p: int("".join(filter(str.isdigit,
                                              os.path.basename(p))) or 0))
         name = os.path.basename(epochs[-1]) if epochs else "model_best.ckpt"
-        ckpt = load_checkpoint(args.ckpt_dir, name)
+        # a mid-epoch preempt.ckpt (utils/preempt.py) wins when it is at
+        # least as recent as the newest end-of-epoch checkpoint
+        name, _pre = latest_resume_checkpoint(args.ckpt_dir, name)
+        ckpt = _pre if _pre is not None else load_checkpoint(args.ckpt_dir,
+                                                             name)
         params, n_res, n_tot = load_partial_params(state.params,
                                                    ckpt.get("params"))
         print(f"[resume] restored {n_res}/{n_tot} param tensors")
@@ -245,69 +251,94 @@ def main(argv=None):
     key = jax.random.PRNGKey(10)
     best = resumed_monitor
     val_dice = float("nan")
-    for epoch in range(start_epoch, args.epochs):
-        t0 = time.time()
-        terms = []
-        micro = []
-        for batch in volume_loader(train_ds, args.batch_size, True,
-                                   seed=10 + epoch)():
-            jb = {"inputs": jnp.asarray(batch["inputs"]),
-                  "targets": jnp.asarray(batch["targets"])}
-            if mesh is None and args.accum > 1:
-                micro.append(jb)
-                if len(micro) < args.accum:
-                    continue
-                jb = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
-                micro = []
-            key, sub = jax.random.split(key)
-            state, m = step(state, jb, sub, jnp.float32(args.lr))
-            # one device->host round trip per step: stack the metric
-            # scalars on device, fetch the vector (a per-key float() would
-            # sync once per metric through the tunnel)
-            mkeys = sorted(m)
-            mvals = np.asarray(jnp.stack([m[k] for k in mkeys]))
-            if not np.isfinite(mvals).all():
-                # §5.3 failure detection: halt with context instead of
-                # training onward on NaN (the 2D driver does the same)
-                raise FloatingPointError(
-                    f"non-finite metric at epoch {epoch} step "
-                    f"{len(terms)}: "
-                    f"{dict(zip(mkeys, map(float, mvals)))}")
-            terms.append(dict(zip(mkeys, map(float, mvals))))
-        if micro:
-            print(f"[accum] dropping {len(micro)} leftover microbatch(es) "
-                  f"at epoch end (epoch yielded a non-multiple of --accum)")
+    from representation_disentanglement_tpu.utils.preempt import (
+        PreemptionGuard)
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            terms = []
             micro = []
-        if not terms:
-            raise ValueError(
-                f"no optimizer step ran in epoch {epoch}: fewer batches "
-                f"than --accum {args.accum}")
-        stat_train = {k: float(np.mean([t[k] for t in terms]))
-                      for k in terms[0]}
-        mean_loss = stat_train["loss"]
-
-        val_dice = validate(state.params)
-        # monitor = 1 - dice so lower-is-better matches the reference's
-        # best-checkpoint convention (and the resume path's min());
-        # a val fold without positives (nan) falls back to train loss
-        monitor_is_val = int(np.isfinite(val_dice))
-        monitor = 1.0 - val_dice if monitor_is_val else mean_loss
-        print(f"epoch {epoch}: loss {mean_loss:.4f} "
-              f"val dice {val_dice:.4f} "
-              f"({time.time() - t0:.1f}s, {len(terms)} steps)")
-        # one row per epoch with a single schema: stat.csv's reference
-        # format (training/stats.py) writes the header once, from the
-        # first row's keys, and appends later rows positionally — so the
-        # val metric joins the train terms instead of a second row shape
-        save_result_stat(dict(stat_train, val_dice=val_dice),
-                         args.ckpt_dir, info=f"epoch[{epoch:2d}]")
-        is_best = monitor <= best
-        best = min(best, monitor)
-        save_checkpoint({"epoch": epoch, "params": state.params,
+            for batch in volume_loader(train_ds, args.batch_size, True,
+                                       seed=10 + epoch)():
+                jb = {"inputs": jnp.asarray(batch["inputs"]),
+                      "targets": jnp.asarray(batch["targets"])}
+                if mesh is None and args.accum > 1:
+                    micro.append(jb)
+                    if len(micro) < args.accum:
+                        continue
+                    jb = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+                    micro = []
+                key, sub = jax.random.split(key)
+                state, m = step(state, jb, sub, jnp.float32(args.lr))
+                # one device->host round trip per step: stack the metric
+                # scalars on device, fetch the vector (a per-key float() would
+                # sync once per metric through the tunnel)
+                mkeys = sorted(m)
+                mvals = np.asarray(jnp.stack([m[k] for k in mkeys]))
+                if not np.isfinite(mvals).all():
+                    # §5.3 failure detection: halt with context instead of
+                    # training onward on NaN (the 2D driver does the same)
+                    raise FloatingPointError(
+                        f"non-finite metric at epoch {epoch} step "
+                        f"{len(terms)}: "
+                        f"{dict(zip(mkeys, map(float, mvals)))}")
+                terms.append(dict(zip(mkeys, map(float, mvals))))
+                if guard.requested:
+                    # mid-epoch preemption: persist live state tagged with
+                    # the last completed epoch so --resume replays this one
+                    save_checkpoint(
+                        {"epoch": epoch - 1, "params": state.params,
                          "opt_state": state.opt_state,
-                         "monitor_metric": monitor,
-                         "monitor_is_val_dice": monitor_is_val,
-                         "stat": stat_train}, is_best, args.ckpt_dir)
+                         "monitor_metric": best,
+                         # preserve the best-tracking era tag: best came
+                         # from 1-val_dice iff a validation ran (finite)
+                         "monitor_is_val_dice": int(np.isfinite(val_dice)
+                                                    and np.isfinite(best)),
+                         "stat": {}},
+                        False, args.ckpt_dir, name=PREEMPT_NAME)
+                    print(f"[preempt] saved {PREEMPT_NAME} mid-epoch "
+                          f"{epoch} after {len(terms)} steps; exiting",
+                          flush=True)
+                    return
+            if micro:
+                print(f"[accum] dropping {len(micro)} leftover microbatch(es) "
+                      f"at epoch end (epoch yielded a non-multiple of --accum)")
+                micro = []
+            if not terms:
+                raise ValueError(
+                    f"no optimizer step ran in epoch {epoch}: fewer batches "
+                    f"than --accum {args.accum}")
+            stat_train = {k: float(np.mean([t[k] for t in terms]))
+                          for k in terms[0]}
+            mean_loss = stat_train["loss"]
+
+            val_dice = validate(state.params)
+            # monitor = 1 - dice so lower-is-better matches the reference's
+            # best-checkpoint convention (and the resume path's min());
+            # a val fold without positives (nan) falls back to train loss
+            monitor_is_val = int(np.isfinite(val_dice))
+            monitor = 1.0 - val_dice if monitor_is_val else mean_loss
+            print(f"epoch {epoch}: loss {mean_loss:.4f} "
+                  f"val dice {val_dice:.4f} "
+                  f"({time.time() - t0:.1f}s, {len(terms)} steps)")
+            # one row per epoch with a single schema: stat.csv's reference
+            # format (training/stats.py) writes the header once, from the
+            # first row's keys, and appends later rows positionally — so the
+            # val metric joins the train terms instead of a second row shape
+            save_result_stat(dict(stat_train, val_dice=val_dice),
+                             args.ckpt_dir, info=f"epoch[{epoch:2d}]")
+            is_best = monitor <= best
+            best = min(best, monitor)
+            save_checkpoint({"epoch": epoch, "params": state.params,
+                             "opt_state": state.opt_state,
+                             "monitor_metric": monitor,
+                             "monitor_is_val_dice": monitor_is_val,
+                             "stat": stat_train}, is_best, args.ckpt_dir)
+            clear_stale_preempt(args.ckpt_dir, epoch)
+            if guard.requested:
+                print(f"[preempt] stopped cleanly after epoch {epoch}",
+                      flush=True)
+                break
 
     if start_epoch >= args.epochs:        # eval-only invocation
         val_dice = validate(state.params)

@@ -43,6 +43,9 @@ from representation_disentanglement_tpu.training.optim import (
     ReduceLROnPlateau)
 from representation_disentanglement_tpu.training.stats import (
     save_result_stat)
+from representation_disentanglement_tpu.utils.preempt import (
+    PREEMPT_NAME, PreemptionGuard, clear_stale_preempt,
+    latest_resume_checkpoint)
 from representation_disentanglement_tpu.training.train import (
     LOSS_KEYS, TrainState, create_train_state, draw_pairs, make_train_step)
 
@@ -129,11 +132,16 @@ def _stack_micro(micro):
 
 def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
                         start_epoch: int, scheduler: ReduceLROnPlateau,
-                        mesh=None) -> TrainState:
+                        mesh=None, guard=None) -> TrainState:
     """Whole-epoch-on-device loop (training/epoch.py): one upload, one
     dispatch, one metrics fetch per epoch.  Under a data mesh the epoch plan
     is batch-sharded and the volume cache replicated; XLA inserts the
-    gradient psum over ICI."""
+    gradient psum over ICI.
+
+    Preemption (utils/preempt.py): the whole epoch is one device dispatch,
+    so the finest stop granularity is the epoch boundary — a checkpoint is
+    written there every epoch, so a preempt loses at most the in-flight
+    epoch."""
     from representation_disentanglement_tpu.training.epoch import (
         epoch_indices, make_train_epoch)
     from representation_disentanglement_tpu.training.train import (
@@ -192,18 +200,28 @@ def train_device_epochs(cfg: Config, model, state: TrainState, txs, loaders,
              "opt_d_state": state.opt_d_state,
              "scheduler": scheduler.state_dict()},
             is_best, cfg.ckpt_path)
+        clear_stale_preempt(cfg.ckpt_path, epoch)
+        if guard is not None and guard.requested:
+            print(f"[preempt] stopped cleanly after epoch {epoch}",
+                  flush=True)
+            break
     return state
 
 
 def train(cfg: Config, model, state: TrainState, txs, loaders,
           start_epoch: int, scheduler: ReduceLROnPlateau,
-          mesh=None) -> TrainState:
+          mesh=None, guard=None) -> TrainState:
+    if guard is None:
+        with PreemptionGuard() as g:
+            return train(cfg, model, state, txs, loaders, start_epoch,
+                         scheduler, mesh=mesh, guard=g)
     from representation_disentanglement_tpu.data.device_store import (
         DeviceBatchLoader)
     if isinstance(loaders[0], DeviceBatchLoader) and not cfg.is_discrim_s \
             and not (cfg.fix_pretrain and cfg.continue_train):
         return train_device_epochs(cfg, model, state, txs, loaders,
-                                   start_epoch, scheduler, mesh=mesh)
+                                   start_epoch, scheduler, mesh=mesh,
+                                   guard=guard)
     train_loader, val_loader, _ = loaders
     from representation_disentanglement_tpu.utils.profiling import StepTimer
     train_step, n_micro = make_train_step(model, cfg, txs)
@@ -247,6 +265,21 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
             timer.step(cfg.effective_batch)
             metric_sum = metrics if metric_sum is None \
                 else metric_sum + metrics
+            if guard is not None and guard.requested:
+                # mid-epoch preemption: persist the live state tagged with
+                # the last COMPLETED epoch so a resume replays this epoch
+                # (at-least-once; utils/preempt.py)
+                save_checkpoint(
+                    {"epoch": epoch - 1, "monitor_metric": monitor_best,
+                     "stat": {}, "params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state,
+                     "opt_d_state": state.opt_d_state,
+                     "scheduler": scheduler.state_dict()},
+                    False, cfg.ckpt_path, name=PREEMPT_NAME)
+                print(f"[preempt] saved {PREEMPT_NAME} mid-epoch {epoch} "
+                      f"(resume replays it); exiting", flush=True)
+                return state
             if cfg.log_every and (n_iters // n_micro) % cfg.log_every == 0:
                 m = metrics_to_dict(metrics)        # one transfer
                 if not np.isfinite(m["all"]):
@@ -288,6 +321,11 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
              "opt_d_state": state.opt_d_state,
              "scheduler": scheduler.state_dict()},
             is_best, cfg.ckpt_path)
+        clear_stale_preempt(cfg.ckpt_path, epoch)
+        if guard is not None and guard.requested:
+            print(f"[preempt] stopped cleanly after epoch {epoch}",
+                  flush=True)
+            break
     return state
 
 
@@ -350,8 +388,14 @@ def run(cfg: Config, ckpt_root: str = "../ckpt", eval_set: str = "test",
     scheduler = ReduceLROnPlateau(cfg.lr)
     start_epoch = -1
     if cfg.continue_train or cfg.phase == "test":
+        resume_name = cfg.ckpt_name
+        if cfg.phase == "train":
+            # prefer a preempt.ckpt when it is the more recent epoch
+            # (utils/preempt.py; the test phase never reads preempt state)
+            resume_name, _ = latest_resume_checkpoint(cfg.ckpt_path,
+                                                      cfg.ckpt_name)
         ckpt, params, bstats, n_res, n_tot = restore_model_state(
-            state.params, state.batch_stats, cfg.ckpt_path, cfg.ckpt_name)
+            state.params, state.batch_stats, cfg.ckpt_path, resume_name)
         print(f"restored {n_res}/{n_tot} param tensors")
         state = state._replace(params=params, batch_stats=bstats)
         if "opt_state" in ckpt and n_res == n_tot:

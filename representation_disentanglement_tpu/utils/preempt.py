@@ -1,0 +1,114 @@
+"""Preemption-safe training: catch SIGTERM/SIGINT, stop at a step boundary.
+
+TPU VMs are routinely preempted (maintenance events, spot reclamation send
+SIGTERM with a short grace window).  The reference has no story here — a
+kill mid-epoch loses everything since the last end-of-epoch checkpoint
+(src/main_missing.py:326-335 saves only after validation).  Here the
+drivers run their epoch loops under a ``PreemptionGuard``: the first
+signal sets a flag that the loops poll at optimizer-step boundaries, save
+an atomic ``preempt.ckpt`` (tagged with the last *completed* epoch, so a
+resume replays the interrupted epoch — at-least-once semantics keep the
+optimizer/scheduler state exactly consistent with what a full-epoch
+checkpoint would hold), and exit cleanly.  A second signal escalates to
+the default handler (immediate termination) so a stuck step can't block
+the grace window.
+
+Resume: ``latest_resume_checkpoint`` prefers ``preempt.ckpt`` over the
+configured checkpoint when it is the more recent epoch; the drivers delete
+the preempt file once a regular end-of-epoch checkpoint at the same or a
+later epoch lands.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+from typing import Optional, Tuple
+
+PREEMPT_NAME = "preempt.ckpt"
+
+
+class PreemptionGuard:
+    """Context manager: install handlers for ``signals`` that set a flag.
+
+    Poll ``guard.requested`` at safe boundaries.  Handlers are restored on
+    exit.  A second delivery of the same signal re-raises with the default
+    disposition (kill) so the grace window can't be out-waited by a hung
+    device step.  Tests can inject a trigger by calling ``request()``.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self._signals = tuple(signals)
+        self._prev = {}
+        self._requested = False
+
+    # -- context manager ---------------------------------------------------
+    def __enter__(self) -> "PreemptionGuard":
+        for sig in self._signals:
+            self._prev[sig] = signal.signal(sig, self._handle)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev.clear()
+        return None
+
+    # -- signal plumbing ----------------------------------------------------
+    def _handle(self, signum, frame) -> None:
+        if self._requested:
+            # second signal: restore default disposition and re-deliver —
+            # the caller is not draining fast enough
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
+            return
+        self._requested = True
+        print(f"[preempt] caught signal {signum}; will checkpoint and stop "
+              "at the next step boundary", flush=True)
+
+    def request(self) -> None:
+        """Programmatic trigger (tests, cooperative shutdown)."""
+        self._requested = True
+
+    @property
+    def requested(self) -> bool:
+        return self._requested
+
+
+def preempt_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, PREEMPT_NAME)
+
+
+def clear_stale_preempt(ckpt_dir: str, completed_epoch: int) -> None:
+    """Drop ``preempt.ckpt`` once a regular checkpoint at ``completed_epoch``
+    (>= the preempt's epoch by construction: the preempt tag is always the
+    last *completed* epoch) has been written."""
+    p = preempt_path(ckpt_dir)
+    if os.path.exists(p):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def latest_resume_checkpoint(ckpt_dir: str, ckpt_name: str
+                             ) -> Tuple[str, Optional[dict]]:
+    """Pick the resume source: ``preempt.ckpt`` if present and at least as
+    recent (by stored epoch) as the configured checkpoint, else
+    ``ckpt_name``.  Returns (chosen_name, preloaded_dict_or_None) — the
+    dict is returned when the choice required reading files, so callers
+    don't deserialize twice."""
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_checkpoint)
+    pp = preempt_path(ckpt_dir)
+    if not os.path.exists(pp):
+        return ckpt_name, None
+    pre = load_checkpoint(ckpt_dir, PREEMPT_NAME)
+    named = os.path.join(ckpt_dir, ckpt_name)
+    if os.path.exists(named):
+        reg = load_checkpoint(ckpt_dir, ckpt_name)
+        if int(reg.get("epoch", -1)) > int(pre.get("epoch", -1)):
+            return ckpt_name, reg
+    print(f"[preempt] resuming from {PREEMPT_NAME} "
+          f"(epoch {int(pre.get('epoch', -1))})", flush=True)
+    return PREEMPT_NAME, pre
