@@ -224,14 +224,15 @@ def main(argv=None):
         ev_spec = NamedSharding(emesh, PartitionSpec())
         reshard = lambda p: jax.device_put(p, ev_spec)
         # returns raw logits; match make_eval_step_3d's sigmoid
-        infer = lambda p, x: jax.nn.sigmoid(
-            run({"params": reshard(p)}, x)[0])
+        infer = lambda p, x: jax.nn.sigmoid(run({"params": p}, x)[0])
     else:
+        reshard = lambda p: p
         infer = lambda p, x: eval_step(p, x)[0]
 
     def validate(params):
         """Mean per-class dice over the val fold (reference dice semantics:
         +1 smoothing, classes 1-3, threshold 0.5 — src/util.py:980-992)."""
+        params = reshard(params)        # once per epoch, not per batch
         dices = []
         for batch in volume_loader(val_ds, args.batch_size, False,
                                    drop_last=False)():
@@ -252,7 +253,7 @@ def main(argv=None):
     best = resumed_monitor
     val_dice = float("nan")
     from representation_disentanglement_tpu.utils.preempt import (
-        PreemptionGuard)
+        PreemptionGuard, tag_preempt_epoch)
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
@@ -296,6 +297,7 @@ def main(argv=None):
                                                     and np.isfinite(best)),
                          "stat": {}},
                         False, args.ckpt_dir, name=PREEMPT_NAME)
+                    tag_preempt_epoch(args.ckpt_dir, epoch - 1)
                     print(f"[preempt] saved {PREEMPT_NAME} mid-epoch "
                           f"{epoch} after {len(terms)} steps; exiting",
                           flush=True)

@@ -45,7 +45,7 @@ from representation_disentanglement_tpu.training.stats import (
     save_result_stat)
 from representation_disentanglement_tpu.utils.preempt import (
     PREEMPT_NAME, PreemptionGuard, clear_stale_preempt,
-    latest_resume_checkpoint)
+    latest_resume_checkpoint, tag_preempt_epoch)
 from representation_disentanglement_tpu.training.train import (
     LOSS_KEYS, TrainState, create_train_state, draw_pairs, make_train_step)
 
@@ -277,6 +277,7 @@ def train(cfg: Config, model, state: TrainState, txs, loaders,
                      "opt_d_state": state.opt_d_state,
                      "scheduler": scheduler.state_dict()},
                     False, cfg.ckpt_path, name=PREEMPT_NAME)
+                tag_preempt_epoch(cfg.ckpt_path, epoch - 1)
                 print(f"[preempt] saved {PREEMPT_NAME} mid-epoch {epoch} "
                       f"(resume replays it); exiting", flush=True)
                 return state

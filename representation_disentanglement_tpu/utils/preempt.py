@@ -45,7 +45,16 @@ class PreemptionGuard:
     # -- context manager ---------------------------------------------------
     def __enter__(self) -> "PreemptionGuard":
         for sig in self._signals:
-            self._prev[sig] = signal.signal(sig, self._handle)
+            try:
+                self._prev[sig] = signal.signal(sig, self._handle)
+            except ValueError:
+                # signal.signal only works on the main thread of the main
+                # interpreter; off it, degrade to an inert guard (requested
+                # stays pollable via request()) instead of breaking train()
+                print("[preempt] not on the main thread; signal handlers "
+                      "not installed (cooperative request() still works)",
+                      flush=True)
+                break
         return self
 
     def __exit__(self, *exc) -> None:
@@ -79,14 +88,47 @@ def preempt_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, PREEMPT_NAME)
 
 
+def tag_preempt_epoch(ckpt_dir: str, epoch: int) -> None:
+    """Write the cheap sidecar ``preempt.ckpt.epoch`` next to the preempt
+    checkpoint so ``clear_stale_preempt`` can compare epochs without
+    deserializing the full params/opt-state blob."""
+    try:
+        with open(preempt_path(ckpt_dir) + ".epoch", "w") as f:
+            f.write(str(int(epoch)))
+    except OSError:
+        pass
+
+
+def _preempt_epoch(ckpt_dir: str) -> int:
+    """Epoch tag of the on-disk preempt.ckpt: sidecar if present, else the
+    full checkpoint (slow path, pre-sidecar files)."""
+    try:
+        with open(preempt_path(ckpt_dir) + ".epoch") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    try:
+        from representation_disentanglement_tpu.training.checkpoint import (
+            load_checkpoint)
+        return int(load_checkpoint(ckpt_dir, PREEMPT_NAME).get("epoch", -1))
+    except Exception:
+        return -1
+
+
 def clear_stale_preempt(ckpt_dir: str, completed_epoch: int) -> None:
-    """Drop ``preempt.ckpt`` once a regular checkpoint at ``completed_epoch``
-    (>= the preempt's epoch by construction: the preempt tag is always the
-    last *completed* epoch) has been written."""
+    """Drop ``preempt.ckpt`` once a regular checkpoint at
+    ``completed_epoch`` >= the preempt's tagged epoch has been written.
+    The guard matters for a fresh run launched (without --resume) into a
+    directory that still holds a newer preempted state: its early epochs
+    must not delete the only copy of the newest params."""
     p = preempt_path(ckpt_dir)
-    if os.path.exists(p):
+    if not os.path.exists(p):
+        return
+    if int(completed_epoch) < _preempt_epoch(ckpt_dir):
+        return
+    for path in (p, p + ".epoch"):
         try:
-            os.remove(p)
+            os.remove(path)
         except OSError:
             pass
 
