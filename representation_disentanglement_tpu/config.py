@@ -143,6 +143,21 @@ class Config:
                                              # device (auto-fallback to host
                                              # loading when it doesn't fit)
     device_cache_budget_gb: float = 10.0
+    shard_data_cache: bool = True            # under mesh_shape {data: N}:
+                                             # shard the TRAIN volume cache
+                                             # over the mesh (per-chip HBM
+                                             # ~1/N, locality-aware epoch
+                                             # plan); False replicates it
+                                             # (exact global-shuffle
+                                             # semantics, full HBM per chip)
+    fuse_bn: bool = False                    # fused Pallas BN-train pass
+                                             # (ops/pallas_bn.py); measured
+                                             # in PERF.md's ladder
+    epoch_chunk_steps: int = 32              # epoch-on-device dispatch
+                                             # granularity: preemption loses
+                                             # at most this many optimizer
+                                             # steps (0 = whole epoch in one
+                                             # dispatch)
     log_every: int = 10
     eval_max_iters: int = 501                # (main_missing.py:561-562)
 

@@ -85,6 +85,15 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="resume params/opt-state/epoch from --ckpt-dir")
     ap.add_argument("--ckpt-dir", default="../ckpt3d")
+    ap.add_argument("--phase", choices=["train", "test"], default="train",
+                    help="test: restore --ckpt-name, evaluate the test "
+                         "fold (per-subject + mean dice/IoU) and export "
+                         "predicted label volumes (2D-driver symmetry; "
+                         "volume contract of src/util.py:257-309)")
+    ap.add_argument("--ckpt-name", default="model_best.ckpt",
+                    help="checkpoint restored by --phase test")
+    ap.add_argument("--no-export", action="store_true",
+                    help="skip writing per-subject prediction volumes")
     args = ap.parse_args(argv)
 
     names = _H5_NAMES[args.dataset]
@@ -97,6 +106,9 @@ def main(argv=None):
         os.path.join(args.data_path, fold("train")))[0])
     val_subjs = np.unique(load_idx_list(
         os.path.join(args.data_path, fold("val")))[0])
+    test_subjs = np.unique(load_idx_list(
+        os.path.join(args.data_path, fold("test")))[0]) \
+        if args.phase == "test" else []
 
     H, W, D = args.image_size
     # reference slabs [45:-46] (BraTS, D=155) / [45:-47] (ZeroDose, D=156)
@@ -108,10 +120,15 @@ def main(argv=None):
                                image_size=(H, W, D), slab=slab)
     val_ds = VolumeDataset3D(args.dataset, store, val_subjs, args.contrasts,
                              image_size=(H, W, D), slab=slab)
+    test_ds = VolumeDataset3D(args.dataset, store, test_subjs,
+                              args.contrasts, image_size=(H, W, D),
+                              slab=slab) if args.phase == "test" else None
 
     model = NVNet3D(input_shape=(D, H, W), in_channels=len(args.contrasts),
                     out_channels=3, init_channels=args.init_channels)
-    sample = next(volume_loader(train_ds, args.batch_size, False)())
+    init_ds = test_ds if args.phase == "test" else train_ds
+    sample = next(volume_loader(init_ds, args.batch_size, False,
+                                drop_last=False)())
     state, tx = create_state_3d(model, jax.random.PRNGKey(10),
                                 jnp.asarray(sample["inputs"]))
     mesh = None
@@ -154,7 +171,16 @@ def main(argv=None):
         PREEMPT_NAME, clear_stale_preempt, latest_resume_checkpoint)
     start_epoch = 0
     resumed_monitor = float("inf")
-    if args.resume:
+    if args.phase == "test":
+        from representation_disentanglement_tpu.training.checkpoint import (
+            load_partial_params)
+        ckpt = load_checkpoint(args.ckpt_dir, args.ckpt_name)
+        params, n_res, n_tot = load_partial_params(state.params,
+                                                   ckpt.get("params"))
+        print(f"[test] restored {n_res}/{n_tot} param tensors from "
+              f"{args.ckpt_name}")
+        state = state._replace(params=params)
+    elif args.resume:
         import glob
         from flax import serialization
         from representation_disentanglement_tpu.training.checkpoint import (
@@ -249,11 +275,57 @@ def main(argv=None):
     from representation_disentanglement_tpu.training.stats import (
         save_result_stat)
     os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    if args.phase == "test":
+        # 3D test fold: per-subject + mean dice/IoU with the 2D driver's
+        # metric definitions, plus predicted label volumes (NIfTI when
+        # nibabel is importable, .npy otherwise) — the 2D path's
+        # results_all.h5 + NIfTI symmetry (src/util.py:257-309 volume
+        # re-assembly contract; here predictions are whole volumes already)
+        from representation_disentanglement_tpu.metrics import (
+            compute_segmentation_metrics)
+        res_dir = os.path.join(args.ckpt_dir, "result_test")
+        os.makedirs(res_dir, exist_ok=True)
+        params = reshard(state.params)
+        dices, ious = [], []
+        for batch in volume_loader(test_ds, args.batch_size, False,
+                                   drop_last=False)():
+            probs = np.asarray(infer(params, jnp.asarray(batch["inputs"])),
+                               np.float32)            # [B, D, H, W, 3]
+            m = compute_segmentation_metrics(batch["targets"], probs)
+            for b, subj in enumerate(batch["subj_id"]):
+                dices.append(m["dice"][b])
+                ious.append(m["iou"][b])
+                print(f"[test] {subj}: dice {m['dice'][b]:.4f} "
+                      f"iou {m['iou'][b]:.4f}")
+                if args.no_export:
+                    continue
+                pr = probs[b]
+                # label volume: 0 unless some class prob clears the 0.5
+                # threshold (the per-class rule the metrics use), else the
+                # argmax class id 1..3
+                lab = np.where(pr.max(-1) > 0.5, pr.argmax(-1) + 1,
+                               0).astype(np.float32)
+                base = os.path.join(res_dir, f"{subj}_pred")
+                try:
+                    from representation_disentanglement_tpu.utils.visualize \
+                        import save_volume_nifti
+                    save_volume_nifti(base + ".nii.gz", lab)
+                except ImportError:
+                    np.save(base + ".npy", lab)
+        stat = {"dice": float(np.mean(dices)) if dices else float("nan"),
+                "iou": float(np.mean(ious)) if ious else float("nan"),
+                "n_subjects": len(dices)}
+        save_result_stat(stat, args.ckpt_dir, info="test")
+        print(f"[test] mean dice {stat['dice']:.4f} iou {stat['iou']:.4f} "
+              f"over {len(dices)} subjects -> {res_dir}")
+        return stat
+
     key = jax.random.PRNGKey(10)
     best = resumed_monitor
     val_dice = float("nan")
     from representation_disentanglement_tpu.utils.preempt import (
-        PreemptionGuard, tag_preempt_epoch)
+        PreemptionGuard, drop_preempt_sidecar, tag_preempt_epoch)
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
@@ -286,7 +358,9 @@ def main(argv=None):
                 terms.append(dict(zip(mkeys, map(float, mvals))))
                 if guard.requested:
                     # mid-epoch preemption: persist live state tagged with
-                    # the last completed epoch so --resume replays this one
+                    # the last completed epoch so --resume replays this one.
+                    # Stale sidecar dropped first (see utils/preempt.py).
+                    drop_preempt_sidecar(args.ckpt_dir)
                     save_checkpoint(
                         {"epoch": epoch - 1, "params": state.params,
                          "opt_state": state.opt_state,

@@ -208,6 +208,17 @@ class MaybeCondConv(nn.Module):
 # BatchNorm with torch semantics over grouped activations
 # ---------------------------------------------------------------------------
 
+# process-wide switch (same pattern as set_cond_mode): route the train-mode
+# stats+normalize through the fused Pallas pass (ops/pallas_bn.py); set from
+# build_model via cfg.use_pallas BEFORE tracing
+_BN_FUSED_DEFAULT = False
+
+
+def set_bn_fused(on: bool) -> None:
+    global _BN_FUSED_DEFAULT
+    _BN_FUSED_DEFAULT = bool(on)
+
+
 class BatchNormTorch(nn.Module):
     """nn.BatchNorm2d parity: biased batch var for normalization, unbiased
     for the running update (momentum 0.1, eps 1e-5).  When called on grouped
@@ -234,10 +245,19 @@ class BatchNormTorch(nn.Module):
             y = batch_norm_apply(x, ra_mean.value, ra_var.value, scale, bias,
                                  self.eps)
         else:
-            mean, var = batch_stats(x, (1, 2, 3))          # [G, C] biased
-            y = batch_norm_apply(
-                x, mean[:, None, None, None, :], var[:, None, None, None, :],
-                scale, bias, self.eps)
+            from representation_disentanglement_tpu.ops.pallas_bn import (
+                bn_train_fused, bn_train_fused_available)
+            if _BN_FUSED_DEFAULT and bn_train_fused_available(x):
+                # fused stats+normalize (2 reads + 1 write of x, the
+                # structural floor; ops/pallas_bn.py) — identical math
+                y, mean, var = bn_train_fused(x, scale, bias, self.eps)
+                mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
+            else:
+                mean, var = batch_stats(x, (1, 2, 3))      # [G, C] biased
+                y = batch_norm_apply(
+                    x, mean[:, None, None, None, :],
+                    var[:, None, None, None, :], scale, bias, self.eps)
             if not self.is_initializing() and \
                     self.is_mutable_collection("batch_stats"):
                 n = x.shape[1] * x.shape[2] * x.shape[3]

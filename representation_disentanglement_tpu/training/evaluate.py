@@ -40,6 +40,22 @@ def _nchw(a: np.ndarray) -> np.ndarray:
     return np.moveaxis(a, -1, -3)
 
 
+def parse_retrieval_info(info: str):
+    """Parse the eval ``info`` tag into (retrieval_mode, query_source).
+
+    ``nearest_neighbour`` / ``mean`` -> the reference's faithful rule
+    (query modality |1-i|, src/main_missing.py:416-425).
+    ``nearest_neighbour_src=<c>`` / ``mean_src=<c>`` -> serve.py's
+    generalized rule: every missing modality is queried with modality c's
+    anatomy (sensible for any M).  Anything else -> (None, None)."""
+    for mode in ("nearest_neighbour", "mean"):
+        if info == mode:
+            return mode, None
+        if info.startswith(mode + "_src="):
+            return mode, int(info[len(mode) + 5:])
+    return None, None
+
+
 def make_eval_step(model, cfg):
     """Build the jitted eval step with the same TPU discipline as training:
 
@@ -131,6 +147,45 @@ def _mix_views(grid: np.ndarray):
     return [grid[i, j] for i in range(M) for j in range(M) if i != j]
 
 
+class _H5Stream:
+    """Incremental ``results_all<info>.h5`` writer.
+
+    The reference accumulates every per-batch tensor in host lists and
+    concatenates once at the end (src/main_missing.py:548-607) — for a real
+    BraTS test fold that is tens of GB of host RAM (inputs + the M(M-1) mix
+    grid + s/z per slice).  Here each batch is appended to resizable h5
+    datasets instead, so host memory stays O(one batch) regardless of fold
+    size while the final on-disk layout (dataset names, dtypes, row order)
+    is unchanged."""
+
+    def __init__(self, path: str):
+        self.f = h5py.File(path, "w")
+        self._str_rows: list = []        # subj_id: tiny, needs global max
+                                         # byte width to match the
+                                         # reference's concatenated dtype
+
+    def append(self, key: str, arr) -> None:
+        arr = np.asarray(arr)
+        if key == "subj_id":
+            self._str_rows.append(arr)
+            return
+        if key not in self.f:
+            self.f.create_dataset(
+                key, data=arr, maxshape=(None,) + arr.shape[1:],
+                chunks=(max(1, arr.shape[0]),) + arr.shape[1:])
+        else:
+            d = self.f[key]
+            n = d.shape[0]
+            d.resize(n + arr.shape[0], axis=0)
+            d[n:] = arr
+
+    def close(self) -> None:
+        if self._str_rows:
+            self.f.create_dataset(
+                "subj_id", data=np.concatenate(self._str_rows, 0))
+        self.f.close()
+
+
 def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
              set_name="val", save_res=False, info="",
              sim_rng: Optional[np.random.Generator] = None,
@@ -139,7 +194,8 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
     each batch's sample axis is sharded over the mesh and params replicated,
     so per-epoch validation under ``mesh_shape: {data: N}`` uses every chip
     the training loop does."""
-    if h5py is None and (save_res or info in ("nearest_neighbour", "mean")):
+    if h5py is None and (save_res or
+                         parse_retrieval_info(info)[0] is not None):
         raise ImportError("h5py required for result dumps / retrieval")
     eval_step, decode_with_z, metric_names = \
         eval_steps or make_eval_step(model, cfg)
@@ -153,24 +209,26 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
 
     loss_sums = np.zeros(len(LOSS_KEYS), np.float64)
     metrics_acc: Dict[str, list] = {}
-    dump: Dict[str, list] = {k: [] for k in (
-        "subj_id", "slice_idx", "inputs", "targets", "mask", "y_fake_fused",
-        "y_fake_list", "xi_fake_mix", "xi_fake_list", "s_list", "z_list",
-        "z_list_find_all")}
 
     res_path = os.path.join(cfg.ckpt_path, "result_" + set_name)
     os.makedirs(res_path, exist_ok=True)
+    dump = _H5Stream(os.path.join(res_path, "results_all" + info + ".h5")) \
+        if phase == "test" and save_res else None
 
-    retrieval = info in ("nearest_neighbour", "mean")
+    retrieval_mode, retrieval_src = parse_retrieval_info(info)
+    retrieval = retrieval_mode is not None
     if retrieval:
-        if M > 2:
+        if retrieval_src is None and M > 2:
             # faithful to the reference (src/main_missing.py:416-425, which
             # queries modality |1-i|, i.e. modality 1 for every i > 1) but
-            # only *meaningful* for the 2-contrast setups it was written for
+            # only *meaningful* for the 2-contrast setups it was written for.
+            # `info=<mode>_src=<c>` activates serve.py's generalized
+            # "query with the anatomy source" rule instead.
             print(f"[retrieval] WARNING: the reference's retrieval query "
                   f"rule src=|1-i| assumes 2 contrasts; with M={M} every "
                   f"missing modality i>1 is queried with modality 1's "
-                  f"anatomy key")
+                  f"anatomy key. Pass --info {retrieval_mode}_src=<c> for "
+                  f"the generalized single-source rule.")
         vgg_ctx = make_vgg_ctx(params, load_vgg_constants(cfg))
         bank_path = os.path.join(res_path, "results_all.h5")
         with h5py.File(bank_path, "r") as bank:
@@ -201,12 +259,15 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
         if retrieval:
             # assume missing modality i; query with compact-s of |1-i|
             # (src/main_missing.py:416-425; written for the 2-contrast case)
+            # or, with `_src=<c>`, always with modality c's anatomy — the
+            # generalized rule the serving path uses (serve.py:79-106)
             z_cols = []
             for i in range(M):
-                src = abs(1 - i)
+                src = retrieval_src if retrieval_src is not None \
+                    else abs(1 - i)
                 si_c = L.compact_s(out["s"][src], cfg.s_compact_method,
                                    vgg_ctx)
-                if info == "nearest_neighbour":
+                if retrieval_mode == "nearest_neighbour":
                     zf = L.nearest_neighbour_z_by_s(
                         jnp.asarray(s_compact_saved[src]),
                         jnp.asarray(z_saved[:, i]), si_c)
@@ -232,36 +293,36 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
         for k, row in zip(metric_names, np.asarray(metric_mat, np.float32)):
             metrics_acc.setdefault(k, []).extend(row.astype(float).tolist())
 
-        if phase == "test" and save_res:
+        if dump is not None:
             grid_np = np.asarray(out["x_fake_grid"], np.float32)
             B = np.asarray(jb["targets"]).shape[0]
             inp = np.asarray(jb["inputs"])                 # [M,B,H,W,Cb]
-            dump["inputs"].append(
-                _nchw(inp).transpose(1, 0, 2, 3, 4).reshape(
-                    B, -1, inp.shape[2], inp.shape[3]))
-            dump["targets"].append(_nchw(np.asarray(jb["targets"])))
-            dump["mask"].append(np.asarray(jb["mask"]))
-            dump["subj_id"].append(np.array(batch["subj_id"], dtype="S"))
-            dump["slice_idx"].append(np.asarray(batch["slice_idx"]))
+            dump.append("inputs",
+                        _nchw(inp).transpose(1, 0, 2, 3, 4).reshape(
+                            B, -1, inp.shape[2], inp.shape[3]))
+            dump.append("targets", _nchw(np.asarray(jb["targets"])))
+            dump.append("mask", np.asarray(jb["mask"]))
+            dump.append("subj_id", np.array(batch["subj_id"], dtype="S"))
+            dump.append("slice_idx", np.asarray(batch["slice_idx"]))
             if out.get("y_fake_fused") is not None:
                 stale_y = (np.asarray(out["y_fake_fused"], np.float32),
                            np.asarray(out["y_fake_list"], np.float32))
             if stale_y is not None:
-                dump["y_fake_fused"].append(_nchw(stale_y[0]))
-                dump["y_fake_list"].append(
-                    _nchw(stale_y[1]).transpose(1, 0, 2, 3, 4))
+                dump.append("y_fake_fused", _nchw(stale_y[0]))
+                dump.append("y_fake_list",
+                            _nchw(stale_y[1]).transpose(1, 0, 2, 3, 4))
             diag = grid_np[np.arange(M), np.arange(M)]
-            dump["xi_fake_list"].append(
-                _nchw(diag).transpose(1, 0, 2, 3, 4))
+            dump.append("xi_fake_list",
+                        _nchw(diag).transpose(1, 0, 2, 3, 4))
             mix = np.stack(_mix_views(grid_np), 0)
-            dump["xi_fake_mix"].append(_nchw(mix).transpose(1, 0, 2, 3, 4))
-            dump["s_list"].append(_nchw(np.asarray(
+            dump.append("xi_fake_mix", _nchw(mix).transpose(1, 0, 2, 3, 4))
+            dump.append("s_list", _nchw(np.asarray(
                 out["s"], np.float32)).transpose(1, 0, 2, 3, 4))
-            dump["z_list"].append(
-                np.asarray(out["z"], np.float32).transpose(1, 0, 2))
+            dump.append("z_list",
+                        np.asarray(out["z"], np.float32).transpose(1, 0, 2))
             if z_find is not None:
-                dump["z_list_find_all"].append(
-                    np.asarray(z_find, np.float32).transpose(1, 0, 2))
+                dump.append("z_list_find_all",
+                            np.asarray(z_find, np.float32).transpose(1, 0, 2))
 
         n_iter = it + 1
         if it > cfg.eval_max_iters - 1:                 # main_missing.py:561
@@ -272,10 +333,6 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
     for k, v in metrics_acc.items():
         stat[k] = float(np.mean(v))
 
-    if phase == "test" and save_res:
-        path = os.path.join(res_path, "results_all" + info + ".h5")
-        with h5py.File(path, "w") as f:
-            for k, v in dump.items():
-                if v:
-                    f.create_dataset(k, data=np.concatenate(v, 0))
+    if dump is not None:
+        dump.close()
     return stat

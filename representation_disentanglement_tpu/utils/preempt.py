@@ -92,9 +92,23 @@ def tag_preempt_epoch(ckpt_dir: str, epoch: int) -> None:
     """Write the cheap sidecar ``preempt.ckpt.epoch`` next to the preempt
     checkpoint so ``clear_stale_preempt`` can compare epochs without
     deserializing the full params/opt-state blob."""
+    final = preempt_path(ckpt_dir) + ".epoch"
+    tmp = final + ".tmp"
     try:
-        with open(preempt_path(ckpt_dir) + ".epoch", "w") as f:
+        with open(tmp, "w") as f:
             f.write(str(int(epoch)))
+        os.replace(tmp, final)  # atomic: never a torn/stale-visible sidecar
+    except OSError:
+        pass
+
+
+def drop_preempt_sidecar(ckpt_dir: str) -> None:
+    """Remove any existing epoch sidecar BEFORE writing a new preempt.ckpt.
+    If the process dies between the checkpoint write and the new tag write,
+    the slow path then reads the true epoch from the checkpoint itself
+    instead of trusting a stale tag from an earlier preemption."""
+    try:
+        os.remove(preempt_path(ckpt_dir) + ".epoch")
     except OSError:
         pass
 
@@ -112,7 +126,12 @@ def _preempt_epoch(ckpt_dir: str) -> int:
             load_checkpoint)
         return int(load_checkpoint(ckpt_dir, PREEMPT_NAME).get("epoch", -1))
     except Exception:
-        return -1
+        # Fail CLOSED: the preempt file exists but its epoch cannot be
+        # determined (transient read/parse failure) — never treat that as
+        # "ancient" and let clear_stale_preempt delete state it could not
+        # inspect.
+        import sys
+        return sys.maxsize
 
 
 def clear_stale_preempt(ckpt_dir: str, completed_epoch: int) -> None:
@@ -124,7 +143,11 @@ def clear_stale_preempt(ckpt_dir: str, completed_epoch: int) -> None:
     p = preempt_path(ckpt_dir)
     if not os.path.exists(p):
         return
-    if int(completed_epoch) < _preempt_epoch(ckpt_dir):
+    # Strict inequality: latest_resume_checkpoint prefers the preempt file on
+    # an epoch TIE (it holds extra partial-epoch progress), so deletion must
+    # require a strictly newer regular checkpoint or a fresh run reaching
+    # epoch == tag would delete state that resume would have chosen.
+    if int(completed_epoch) <= _preempt_epoch(ckpt_dir):
         return
     for path in (p, p + ".epoch"):
         try:

@@ -250,3 +250,119 @@ def test_ab_dropoff_matrix(rng, ref_model_module, tmp_path):
     for r in rows:
         print(f"  drop={r[0]}: {r[1]:.4f} {r[2]:.4f} "
               f"d_psnr={r[3]:.2e} d_ssim={r[4]:.2e}")
+
+
+def test_ab_dropoff_matrix_m4(rng, ref_model_module, tmp_path):
+    """4-modality dropoff-matrix A/B (VERDICT r3 item 9): all <=2-drop
+    subsets with >=2 contrasts present — 11 rows (1 none + 4 single + 6
+    pairs), same torch-trained weights on both sides, per-subset PSNR/SSIM
+    within the north-star tolerances.  Matches the BraTS M=4 scenario of
+    src/util.py:571-632.  Results recorded in PARITY.md."""
+    import itertools
+    from tests.test_train_parity_full import SHIPPED, _ref_train
+    from representation_disentanglement_tpu.config import Config
+    from representation_disentanglement_tpu.main_missing import build_model
+    from representation_disentanglement_tpu.metrics import (
+        compute_reconstruction_metrics)
+    from representation_disentanglement_tpu.training.checkpoint import (
+        load_partial_params)
+    from representation_disentanglement_tpu.training.evaluate import (
+        make_eval_step)
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+    from representation_disentanglement_tpu.utils.transplant import (
+        transplant_multimodal)
+
+    M4 = 4
+    steps = min(STEPS, 4)                  # torch-CPU M=4 at 160x192
+    xs_np = [rng.normal(size=(B, 7, H, W)).astype(np.float32) * 0.5
+             for _ in range(M4)]
+    targets_np = np.zeros((B, 1, H, W), np.float32)
+    mask_np = np.ones((B, M4), np.float32)
+    mask_img_np = np.zeros((B, H, W), np.float32)
+
+    # pin the reference's global-RNG sim-s pair draws (M > 2 path)
+    pair_cycle = itertools.cycle([[0, 1], [2, 3], [1, 2], [0, 3]])
+    sd0 = {}
+    _, ref_model = _ref_train(ref_model_module, sd0, xs_np, targets_np,
+                              mask_np, mask_img_np, SHIPPED, M4, 1, steps,
+                              pin_pairs=pair_cycle)
+    ref_model.eval()
+
+    cfg = Config(dataset_name="BraTS",
+                 contrast_list=["T1", "T1c", "T2", "T2_FLAIR"],
+                 input_height=H, input_width=W, batch_size=B,
+                 effective_batch=B, shared_inp_dec=False, is_cond=True,
+                 use_pallas=False,
+                 others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                         "old": False, "softmax_remove_mask": True},
+                 **SHIPPED)
+    cfg.derive().validate()
+    cfg.ckpt_path = str(tmp_path)
+    model = build_model(cfg)
+    batch0 = {
+        "inputs": jnp.asarray(np.stack(
+            [np.moveaxis(x, 1, -1) for x in xs_np], 0)),
+        "targets": jnp.asarray(np.moveaxis(targets_np, 1, -1)),
+        "mask": jnp.asarray(mask_np),
+        "mask_img": jnp.asarray(mask_img_np),
+    }
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), batch0)
+    p, s = transplant_multimodal(
+        ref_model.state_dict(), M4, input_size=(H, W), is_cond=True,
+        shared_inp_dec=False, notshared_impl=cfg.notshared_impl)
+    params, n_res, n_tot = load_partial_params(state.params, p)
+    assert n_res == n_tot
+    bstats, _, _ = load_partial_params(state.batch_stats, s)
+    eval_step, _, metric_names = make_eval_step(model, cfg)
+
+    # <=2-drop subsets with >= 2 contrasts present (util.py:580-584)
+    subsets = [()] + [(i,) for i in range(M4)] + \
+        [t for t in itertools.combinations(range(M4), 2)]
+    assert len(subsets) == 11
+    rows = []
+    for drop in subsets:
+        keep = np.ones((B, M4), np.float32)
+        xs_d = [x.copy() for x in xs_np]
+        for d in drop:
+            keep[:, d] = 0.0
+            xs_d[d][:] = 0.0
+
+        with torch.no_grad():
+            xs_t = [torch.tensor(x) for x in xs_d]
+            si = ref_model.compute_anatomy_encoding(
+                xs_t, torch.tensor(mask_img_np))
+            _, zm, _ = ref_model.compute_modality_encoding(xs_t, si,
+                                                           phase="test")
+            xfm = ref_model.reconstruct_input_si_zj(si, zm)
+        pair_js = [j for i in range(M4) for j in range(M4) if i != j]
+        keep_rows = np.concatenate([keep[:, j] for j in pair_js]) > 0
+        gts = np.concatenate([xs_d[j][:, 0] for i in range(M4)
+                              for j in range(M4) if i != j], 0)
+        preds = np.concatenate([x.numpy()[:, 0] for x in xfm], 0)
+        mt = compute_reconstruction_metrics(gts[..., None],
+                                            preds[..., None])
+        mt = {k: np.asarray(v)[keep_rows] for k, v in mt.items()}
+
+        jb = dict(batch0,
+                  inputs=jnp.asarray(np.stack(
+                      [np.moveaxis(x, 1, -1) for x in xs_d], 0)),
+                  mask=jnp.asarray(keep))
+        _, _, metric_mat = eval_step(params, bstats, jb,
+                                     jnp.asarray([0, 1]),
+                                     jnp.asarray([0, 1]), compute_y=False)
+        ours = {k: row[keep_rows] for k, row in zip(
+            metric_names, np.asarray(metric_mat, np.float64))}
+
+        d_psnr = abs(np.mean(mt["psnr"]) - np.mean(ours["psnr"]))
+        d_ssim = abs(np.mean(mt["ssim"]) - np.mean(ours["ssim"]))
+        rows.append((drop, float(np.mean(mt["psnr"])),
+                     float(np.mean(ours["psnr"])), d_psnr, d_ssim))
+        assert d_psnr <= 0.5, (drop, d_psnr)
+        assert d_ssim <= 0.005, (drop, d_ssim)
+
+    print("\nM=4 dropoff matrix A/B "
+          "(drop -> ref_psnr ours_psnr dpsnr dssim):")
+    for r in rows:
+        print(f"  drop={r[0]}: {r[1]:.4f} {r[2]:.4f} "
+              f"d_psnr={r[3]:.2e} d_ssim={r[4]:.2e}")

@@ -36,6 +36,11 @@ def _dp_cli_cfg(workdir, mesh_n, timelabel, device_cache=True,
              fuse_method="mean", target_model_name="U",
              ckpt_timelabel=timelabel, effective_batch=4, log_every=0,
              mesh_shape={"data": mesh_n}, device_data_cache=device_cache,
+             # replicated cache: this test checks EXACT DP trajectory
+             # equality, which needs the global-shuffle epoch plan; the
+             # sharded cache's stratified plan is covered by
+             # test_sharded_cache.py
+             shard_data_cache=False,
              use_pallas=False)
     p = workdir / f"config_{timelabel}.yaml"
     p.write_text(yaml.dump(d))

@@ -120,3 +120,60 @@ def test_channel_sharded_train_step_matches(rng):
                                rtol=1e-3)
     for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_retrieval_generalized_src_rule_m4(tmp_path, rng):
+    """M=4 retrieval with the generalized query rule (VERDICT r3 item 8):
+    ``info=<mode>_src=<c>`` queries EVERY missing modality with modality c's
+    anatomy key (serve.py's rule) instead of the reference's 2-contrast
+    ``|1-i|`` rule (src/main_missing.py:416-425), which degenerates for
+    M > 2."""
+    from representation_disentanglement_tpu.config import Config
+    from representation_disentanglement_tpu.data.synthetic import (
+        make_synthetic_dataset)
+    from representation_disentanglement_tpu.main_missing import (
+        build_model, make_loaders)
+    from representation_disentanglement_tpu.training.evaluate import (
+        evaluate, parse_retrieval_info)
+    from representation_disentanglement_tpu.training.train import (
+        create_train_state)
+
+    assert parse_retrieval_info("nearest_neighbour") == \
+        ("nearest_neighbour", None)
+    assert parse_retrieval_info("mean_src=2") == ("mean", 2)
+    assert parse_retrieval_info("nearest_neighbour_src=0") == \
+        ("nearest_neighbour", 0)
+    assert parse_retrieval_info("") == (None, None)
+    assert parse_retrieval_info("anything") == (None, None)
+
+    contrasts = ["T1", "T2", "T1c", "FLAIR"]
+    data_dir = str(tmp_path / "data")
+    make_synthetic_dataset(data_dir, "BraTS", tuple(contrasts), "z-score",
+                           n_subj=4, shape=(32, 64, 12), slice_range=(4, 9))
+    cfg = Config(dataset_name="BraTS", contrast_list=contrasts,
+                 input_height=32, input_width=64, batch_size=4,
+                 effective_batch=4, data_path=data_dir,
+                 shared_inp_dec=False, is_cond=True,
+                 others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                         "old": False, "softmax_remove_mask": True})
+    cfg.derive().validate()
+    cfg.ckpt_path = str(tmp_path / "run")
+    model = build_model(cfg)
+    loaders = make_loaders(cfg)
+    sample = next(iter(loaders[2]))
+    sample = {k: sample[k] for k in ("inputs", "targets", "mask",
+                                     "mask_img")}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+
+    # write the latent bank, then impute via the generalized source rule
+    evaluate(model, state.params, state.batch_stats, cfg, loaders[2],
+             phase="test", set_name="test", save_res=True)
+    info = "nearest_neighbour_src=2"
+    stat = evaluate(model, state.params, state.batch_stats, cfg, loaders[2],
+                    phase="test", set_name="test", save_res=True, info=info)
+    assert np.isfinite(stat["recon_x_mix"])
+    import h5py
+    with h5py.File(os.path.join(cfg.ckpt_path, "result_test",
+                                f"results_all{info}.h5")) as f:
+        assert f["z_list_find_all"].shape[1] == 4    # all M retrieved
