@@ -81,7 +81,8 @@ def _time_best3(call, steps):
 
 def bench_ours(height, width, contrasts, batch_size, effective_batch,
                steps, dtype="bfloat16", use_pallas=False,
-               cond_mode="grouped", notshared_impl="loop", remat=True):
+               cond_mode="grouped", notshared_impl="loop", remat=True,
+               fuse_bn=False):
     import jax
     import jax.numpy as jnp
     from representation_disentanglement_tpu.utils.profiling import (
@@ -98,6 +99,7 @@ def bench_ours(height, width, contrasts, batch_size, effective_batch,
     cfg.cond_mode = cond_mode
     cfg.notshared_impl = notshared_impl
     cfg.remat = remat
+    cfg.fuse_bn = fuse_bn
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(cfg, rng)
@@ -261,6 +263,9 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--cond-mode", default="grouped",
                     choices=["grouped", "sum_experts"])
+    ap.add_argument("--fuse-bn", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="fused Pallas BN train pass (ops/pallas_bn.py)")
     ap.add_argument("--notshared", default="loop",
                     choices=["vmap", "loop"])
     ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
@@ -293,7 +298,8 @@ def main():
     r = bench_ours(
         h, w, contrasts, bs, eb, steps, dtype=args.dtype,
         use_pallas=args.pallas, cond_mode=args.cond_mode,
-        notshared_impl=args.notshared, remat=args.remat)
+        notshared_impl=args.notshared, remat=args.remat,
+        fuse_bn=args.fuse_bn)
     train_sps, infer_sps, loss = (r["train_sps"], r["infer_sps"],
                                   r["final_loss"])
 

@@ -57,16 +57,20 @@ def _stats_kernel(x_ref, mean_ref, var_ref, acc, *, inv_n: float):
 
     @pl.when(b == nb - 1)
     def _():
+        # stats carried as [G, 1, C] blocks: a [G, C] output with block
+        # (1, C) would violate Mosaic's last-two-dims (8, 128) block rule
+        # whenever G > 1 (block dim 1 != array dim G); the trailing
+        # singleton makes the last two dims (1, C) == block dims exactly
         m = acc[0] * inv_n
-        mean_ref[0] = m
-        var_ref[0] = acc[1] * inv_n - m * m             # biased
+        mean_ref[0, 0] = m
+        var_ref[0, 0] = acc[1] * inv_n - m * m          # biased
 
 
 def _norm_kernel(x_ref, mean_ref, var_ref, scale_ref, bias_ref, y_ref, *,
                  eps: float):
     x = x_ref[0, 0].astype(jnp.float32)
-    rstd = jax.lax.rsqrt(var_ref[0] + eps)
-    y = (x - mean_ref[0]) * (rstd * scale_ref[:].astype(jnp.float32)) \
+    rstd = jax.lax.rsqrt(var_ref[0, 0] + eps)
+    y = (x - mean_ref[0, 0]) * (rstd * scale_ref[:].astype(jnp.float32)) \
         + bias_ref[:].astype(jnp.float32)
     y_ref[0, 0] = y.astype(y_ref.dtype)
 
@@ -87,13 +91,13 @@ def bn_train_fused_available(x) -> bool:
 def _bn_train_pallas(x, scale, bias, eps: float, interpret: bool):
     g, b, h, w, c = x.shape
     xspec = pl.BlockSpec((1, 1, h, w, c), lambda i, j: (i, j, 0, 0, 0))
-    gc_spec = pl.BlockSpec((1, c), lambda i, j: (i, 0))
+    gc_spec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0))
     mean, var = pl.pallas_call(
         functools.partial(_stats_kernel, inv_n=1.0 / (b * h * w)),
         grid=(g, b),
         in_specs=[xspec],
         out_specs=[gc_spec, gc_spec],
-        out_shape=[jax.ShapeDtypeStruct((g, c), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((g, 1, c), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=interpret,
     )(x)
@@ -106,7 +110,7 @@ def _bn_train_pallas(x, scale, bias, eps: float, interpret: bool):
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, mean, var, scale, bias)
-    return y, mean, var
+    return y, mean[:, 0], var[:, 0]
 
 
 def _bn_train_xla(x, scale, bias, eps: float):

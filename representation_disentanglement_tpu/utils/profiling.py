@@ -20,20 +20,35 @@ from typing import Dict, List, Optional
 
 
 def cache_dir_for_host(base: str = "/tmp/rdt_jax_cache") -> str:
-    """Per-CPU-type cache dir: AOT results are machine-feature specific and
-    this environment migrates between hosts (reusing another machine's
-    cache risks SIGILL)."""
+    """Per-boot cache dir.  XLA:CPU AOT cache entries embed the COMPILE
+    machine's target config, and /proc/cpuinfo flags are not a sufficient
+    key for it: round 4 showed two hosts with identical cpuinfo flags whose
+    XLA target configs differ in derived pseudo-features (e.g.
+    ``prefer-no-gather``), so a /tmp cache surviving a host migration was
+    load-rejected entry by entry (cpu_aot_loader "machine features don't
+    match" spam) while everything recompiled anyway.  Keying on the kernel
+    boot_id (+ jaxlib version) makes the cache valid exactly as long as the
+    machine is: warm within a session/round, never carried across a
+    migration."""
     import hashlib
+    parts = []
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read().strip())
+    except OSError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag = hashlib.md5(line.encode()).hexdigest()[:8]
-                    break
-            else:
-                tag = "generic"
+            parts.extend(line for line in f if line.startswith("flags"))
     except OSError:
-        tag = "generic"
+        pass
+    try:
+        import jaxlib
+        parts.append(getattr(jaxlib, "__version__", ""))
+    except ImportError:
+        pass
+    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:8] \
+        if parts else "generic"
     return f"{base}_{tag}"
 
 
