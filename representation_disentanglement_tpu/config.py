@@ -150,6 +150,12 @@ class Config:
                                              # plan); False replicates it
                                              # (exact global-shuffle
                                              # semantics, full HBM per chip)
+    shard_eval_cache: bool = True            # under mesh_shape {data: N}:
+                                             # shard the val/test volume
+                                             # caches too (exhaustive padded
+                                             # single-pass eval, VERDICT r4
+                                             # item 7); False replicates
+                                             # them (fold-order dump rows)
     fuse_bn: bool = False                    # fused Pallas BN-train pass
                                              # (ops/pallas_bn.py); measured
                                              # in PERF.md's ladder

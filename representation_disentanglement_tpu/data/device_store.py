@@ -304,6 +304,96 @@ def gather_blocks_sharded(vols, tgts, presence, rows, slices, drop_mask,
     }
 
 
+class ShardedEvalBatchLoader:
+    """Exhaustive single-pass iterator over a ShardedVolumeCache for
+    evaluation (VERDICT r4 item 7: val/test caches sharded over the mesh).
+
+    Eval must visit EVERY sample exactly once, but locality pins each
+    sample to the device holding its subject's volumes, and shards are not
+    perfectly balanced — so every batch is a full ``[N, b_loc]`` plan and
+    short shards are padded with repeats carrying ``valid=0`` AND
+    ``mask=0``: an all-modalities-missing row contributes exactly zero to
+    every mask-gated loss (the present-count normalization excludes it,
+    losses.py), while metrics and the results_all.h5 dump drop the padded
+    rows host-side via the yielded ``valid`` vector.  Row order is
+    shard-major (device 0's subjects first within each batch) instead of
+    fold order; each dump row still carries subj_id + slice_idx, and the
+    equivalence with replicated-cache eval is asserted in
+    tests/test_sharded_cache.py."""
+
+    def __init__(self, cache: ShardedVolumeCache, subj_list, idx_list,
+                 batch_size: int, dropoff: bool = False, seed: int = 10):
+        if batch_size % cache.n_shards:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh size {cache.n_shards}")
+        self.cache = cache
+        self.batch_size = batch_size
+        self.b_loc = batch_size // cache.n_shards
+        self.dropoff = dropoff      # reference applies dropoff on VAL too
+        self.rng = np.random.default_rng(seed)   # (src/util.py:703, :538)
+        b = cache.block_size
+        D = cache.vols.shape[3]
+        hi = min(cache.clamp_hi - b, D - b - 1)
+        self.groups = [[] for _ in range(cache.n_shards)]
+        for s, idx in zip(np.asarray(subj_list), np.asarray(idx_list)):
+            g = cache.row[str(s)]
+            dev, loc = divmod(g, cache.s_loc)
+            self.groups[dev].append((loc, int(np.clip(idx, b, hi))))
+        self.groups = [np.asarray(g, np.int32).reshape(-1, 2)
+                       for g in self.groups]
+        self._presence_np = np.asarray(cache.presence)   # [N, S_loc, M]
+
+    def __len__(self):
+        longest = max(len(g) for g in self.groups)
+        return -(-longest // self.b_loc)
+
+    def __iter__(self):
+        N, b = self.cache.n_shards, self.b_loc
+        n_batches = len(self)
+        M = self.cache.presence.shape[-1]
+        rows = np.zeros((n_batches, N, b), np.int32)
+        slices = np.zeros((n_batches, N, b), np.int32)
+        valid = np.zeros((n_batches, N, b), bool)
+        for n, g in enumerate(self.groups):
+            k = len(g)
+            if k:
+                flat_r = np.resize(g[:, 0], n_batches * b)   # repeats pad
+                flat_s = np.resize(g[:, 1], n_batches * b)
+            else:                       # shard with no eval subjects
+                flat_r = np.zeros(n_batches * b, np.int32)
+                flat_s = np.full(n_batches * b,
+                                 self.cache.block_size, np.int32)
+            rows[:, n] = flat_r.reshape(n_batches, b)
+            slices[:, n] = flat_s.reshape(n_batches, b)
+            v = np.zeros(n_batches * b, bool)
+            v[:k] = True
+            valid[:, n] = v.reshape(n_batches, b)
+        drop = valid[..., None].astype(np.float32) * np.ones(
+            (1, 1, 1, M), np.float32)                   # mask=0 on padding
+        if self.dropoff:
+            for i in range(n_batches):
+                for n in range(N):
+                    for j in range(b):
+                        if not valid[i, n, j]:
+                            continue
+                        pres = np.where(
+                            self._presence_np[n, rows[i, n, j]] > 0)[0]
+                        if len(pres) > 1 and self.rng.random() > 0.8:
+                            drop[i, n, j, self.rng.choice(pres)] = 0.0
+        for i in range(n_batches):
+            batch = gather_blocks_sharded(
+                self.cache.vols, self.cache.tgts, self.cache.presence,
+                jnp.asarray(rows[i]), jnp.asarray(slices[i]),
+                jnp.asarray(drop[i]), block_size=self.cache.block_size)
+            batch = dict(batch)
+            gl = (rows[i] + np.arange(N)[:, None] *
+                  self.cache.s_loc).reshape(-1)
+            batch["subj_id"] = [self.cache.subjects[r] for r in gl]
+            batch["slice_idx"] = slices[i].reshape(-1)
+            batch["valid"] = valid[i].reshape(-1)
+            yield batch
+
+
 class ShardedDeviceBatchLoader:
     """Batch iterator over a ShardedVolumeCache.
 

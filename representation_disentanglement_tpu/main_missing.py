@@ -98,7 +98,8 @@ def make_loaders(cfg: Config, mesh=None):
     if cfg.device_data_cache and not cfg.skull_strip:
         from representation_disentanglement_tpu.data.device_store import (
             DeviceBatchLoader, ShardedDeviceBatchLoader,
-            build_device_cache, build_sharded_device_cache)
+            ShardedEvalBatchLoader, build_device_cache,
+            build_sharded_device_cache)
         budget = int(cfg.device_cache_budget_gb * 2**30)
         clamp = 89 if cfg.dataset_name == "Tau" else 155
         loaders = []
@@ -107,8 +108,10 @@ def make_loaders(cfg: Config, mesh=None):
                 (data.train_dataset, cfg.shuffle, True, cfg.dropoff),
                 (data.val_dataset, False, False, cfg.dropoff),
                 (data.test_dataset, False, False, False)):
-            if mesh is not None and cfg.shard_data_cache \
-                    and ds is data.train_dataset:
+            shard_this = mesh is not None and (
+                cfg.shard_data_cache if ds is data.train_dataset
+                else cfg.shard_eval_cache)
+            if shard_this:
                 cache = build_sharded_device_cache(
                     cfg.dataset_name, data.store, ds.subj_list,
                     cfg.contrast_list, mesh, block_size=cfg.block_size,
@@ -116,13 +119,22 @@ def make_loaders(cfg: Config, mesh=None):
                 if cache is None:
                     ok = False
                     break
-                print(f"[data] train cache sharded over {cache.n_shards} "
+                tag = "train" if ds is data.train_dataset else (
+                    "val" if ds is data.val_dataset else "test")
+                print(f"[data] {tag} cache sharded over {cache.n_shards} "
                       f"devices: {cache.nbytes_per_chip / 2**20:.0f} "
                       f"MiB/chip (total {cache.nbytes / 2**20:.0f} MiB)")
-                loaders.append(ShardedDeviceBatchLoader(
-                    cache, ds.subj_list, ds.idx_list, cfg.batch_size,
-                    shuffle=shuffle, drop_last=drop_last, dropoff=dropoff,
-                    seed=cfg.seed))
+                if ds is data.train_dataset:
+                    loaders.append(ShardedDeviceBatchLoader(
+                        cache, ds.subj_list, ds.idx_list, cfg.batch_size,
+                        shuffle=shuffle, drop_last=drop_last,
+                        dropoff=dropoff, seed=cfg.seed))
+                else:
+                    # exhaustive padded single-pass (eval visits every
+                    # sample once; padding rows carry mask=0 + valid=0)
+                    loaders.append(ShardedEvalBatchLoader(
+                        cache, ds.subj_list, ds.idx_list, cfg.batch_size,
+                        dropoff=dropoff, seed=cfg.seed))
                 continue
             cache = build_device_cache(
                 cfg.dataset_name, data.store, ds.subj_list,
@@ -504,6 +516,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", default="config.yaml")
     ap.add_argument("--ckpt-root", default="../ckpt")
+    ap.add_argument("--data-root", default=None,
+                    help="override the config's data_path (the directory "
+                         "holding <dataset>_All_*.h5 + fold txts)")
     ap.add_argument("--set", dest="eval_set", default="test",
                     choices=["test", "val", "train", "test_dropoff"],
                     help="test-phase loader (ref main_missing.py:611-623)")
@@ -516,6 +531,8 @@ def main(argv=None):
         enable_compile_cache)
     enable_compile_cache()      # warm-start recompiles across CLI runs
     cfg = load_config(args.config)
+    if args.data_root:
+        cfg.data_path = args.data_root.rstrip("/") + "/"
     return run(cfg, ckpt_root=args.ckpt_root, eval_set=args.eval_set,
                eval_info=args.info)
 

@@ -288,41 +288,56 @@ def evaluate(model, params, batch_stats, cfg, loader, *, phase="val",
             metric_mat = mix_metric_mat(jb["inputs"], out["x_fake_grid"])
 
         # two small fetches per batch (11-loss vector + per-sample metric
-        # matrix); prediction tensors stay on device unless dumping
+        # matrix); prediction tensors stay on device unless dumping.
+        # ``valid`` marks the padding rows a sharded eval cache emits to
+        # keep every per-device plan full (data/device_store.py:
+        # ShardedEvalBatchLoader); they carry mask=0 so every mask-gated
+        # loss already excludes them — metrics and dump rows are filtered
+        # host-side here.
+        valid = np.asarray(batch["valid"]) if "valid" in batch else None
         loss_sums += np.asarray(loss_vec, np.float64)
-        for k, row in zip(metric_names, np.asarray(metric_mat, np.float32)):
+        mat = np.asarray(metric_mat, np.float32)
+        if valid is not None:
+            reps = mat.shape[1] // valid.shape[0]   # 1 (y) or M(M-1) (mix)
+            mat = mat[:, np.tile(valid, reps)]
+        for k, row in zip(metric_names, mat):
             metrics_acc.setdefault(k, []).extend(row.astype(float).tolist())
 
         if dump is not None:
+            sel = valid if valid is not None else slice(None)
             grid_np = np.asarray(out["x_fake_grid"], np.float32)
             B = np.asarray(jb["targets"]).shape[0]
             inp = np.asarray(jb["inputs"])                 # [M,B,H,W,Cb]
             dump.append("inputs",
                         _nchw(inp).transpose(1, 0, 2, 3, 4).reshape(
-                            B, -1, inp.shape[2], inp.shape[3]))
-            dump.append("targets", _nchw(np.asarray(jb["targets"])))
-            dump.append("mask", np.asarray(jb["mask"]))
-            dump.append("subj_id", np.array(batch["subj_id"], dtype="S"))
-            dump.append("slice_idx", np.asarray(batch["slice_idx"]))
+                            B, -1, inp.shape[2], inp.shape[3])[sel])
+            dump.append("targets", _nchw(np.asarray(jb["targets"]))[sel])
+            dump.append("mask", np.asarray(jb["mask"])[sel])
+            dump.append("subj_id",
+                        np.array(batch["subj_id"], dtype="S")[sel])
+            dump.append("slice_idx", np.asarray(batch["slice_idx"])[sel])
             if out.get("y_fake_fused") is not None:
                 stale_y = (np.asarray(out["y_fake_fused"], np.float32),
                            np.asarray(out["y_fake_list"], np.float32))
             if stale_y is not None:
-                dump.append("y_fake_fused", _nchw(stale_y[0]))
+                dump.append("y_fake_fused", _nchw(stale_y[0])[sel])
                 dump.append("y_fake_list",
-                            _nchw(stale_y[1]).transpose(1, 0, 2, 3, 4))
+                            _nchw(stale_y[1]).transpose(1, 0, 2, 3, 4)[sel])
             diag = grid_np[np.arange(M), np.arange(M)]
             dump.append("xi_fake_list",
-                        _nchw(diag).transpose(1, 0, 2, 3, 4))
+                        _nchw(diag).transpose(1, 0, 2, 3, 4)[sel])
             mix = np.stack(_mix_views(grid_np), 0)
-            dump.append("xi_fake_mix", _nchw(mix).transpose(1, 0, 2, 3, 4))
+            dump.append("xi_fake_mix",
+                        _nchw(mix).transpose(1, 0, 2, 3, 4)[sel])
             dump.append("s_list", _nchw(np.asarray(
-                out["s"], np.float32)).transpose(1, 0, 2, 3, 4))
+                out["s"], np.float32)).transpose(1, 0, 2, 3, 4)[sel])
             dump.append("z_list",
-                        np.asarray(out["z"], np.float32).transpose(1, 0, 2))
+                        np.asarray(out["z"],
+                                   np.float32).transpose(1, 0, 2)[sel])
             if z_find is not None:
                 dump.append("z_list_find_all",
-                            np.asarray(z_find, np.float32).transpose(1, 0, 2))
+                            np.asarray(z_find,
+                                       np.float32).transpose(1, 0, 2)[sel])
 
         n_iter = it + 1
         if it > cfg.eval_max_iters - 1:                 # main_missing.py:561

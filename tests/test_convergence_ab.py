@@ -42,6 +42,11 @@ EPOCHS = int(os.environ.get("RDT_CONV_EPOCHS", "4"))
 BATCHES_PER_EPOCH = int(os.environ.get("RDT_CONV_BATCHES", "4"))
 VAL_BATCHES = 2
 LR = 2e-4
+# plateau scheduler (reference: factor .1, patience 5, min 1e-5,
+# main_missing.py:118-121; patience shrunk via env so an LR-reduction
+# event actually occurs inside the test horizon, VERDICT r4 item 8)
+PATIENCE = int(os.environ.get("RDT_CONV_PATIENCE", "5"))
+REQUIRE_LR_DROP = os.environ.get("RDT_CONV_REQUIRE_LR_DROP") == "1"
 
 
 def _phantom_batch(rng):
@@ -70,32 +75,43 @@ def _phantom_batch(rng):
             np.ones((B, M), np.float32), np.zeros((B, H, W), np.float32))
 
 
-def _ref_epoch_train(ref, sd0_out, batches, lam, snapshots_out):
-    """Torch reference: EPOCHS full epochs over `batches` with the driver's
-    loop semantics (per-iteration backward + accumulated-grad clip +
-    step — effective_batch == batch here so every iteration steps,
-    src/main_missing.py:141-335), z pinned to mean; appends a state_dict
-    snapshot + mean train loss per epoch."""
-    torch.manual_seed(0)
-    dev = torch.device("cpu")
-    model = ref.MultimodalModel(
-        input_size=(H, W), modality_num=M, in_num_ch=7, out_num_ch=1,
-        s_num_ch=4, z_size=16, is_cond=True, is_discrim_s=False,
-        is_distri_z=False, shared_ana_enc=True, shared_mod_enc=True,
-        shared_inp_dec=False, s_compact_method="max", s_sim_method="cosine",
-        z_sim_method="cosine", input_output_act="no", target_output_act="no",
-        target_model_name="U+SA", fuse_method="mean", device=dev,
-        others={"mod_enc_s": False, "ana_dec_act": "softmax", "old": False,
-                "softmax_remove_mask": True})
-    model.sample = lambda mean, log_var: mean
-    sd0_out.update({k: v.detach().clone()
-                    for k, v in model.state_dict().items()})
-    opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-5,
-                           amsgrad=True)
-    model.train()
-    losses_per_epoch = []
-    it = 0
-    for epoch in range(EPOCHS):
+class _RefTrainer:
+    """Torch reference trainer held open across epochs so the plateau
+    scheduler can interleave with per-epoch validation (the driver's
+    structure: train epoch -> evaluate val -> scheduler.step(monitor),
+    src/main_missing.py:141-335, :316-321).  z pinned to mean; per-
+    iteration backward + clip + step (effective_batch == batch here)."""
+
+    def __init__(self, ref, lam):
+        torch.manual_seed(0)
+        dev = torch.device("cpu")
+        self.lam = lam
+        self.model = ref.MultimodalModel(
+            input_size=(H, W), modality_num=M, in_num_ch=7, out_num_ch=1,
+            s_num_ch=4, z_size=16, is_cond=True, is_discrim_s=False,
+            is_distri_z=False, shared_ana_enc=True, shared_mod_enc=True,
+            shared_inp_dec=False, s_compact_method="max",
+            s_sim_method="cosine", z_sim_method="cosine",
+            input_output_act="no", target_output_act="no",
+            target_model_name="U+SA", fuse_method="mean", device=dev,
+            others={"mod_enc_s": False, "ana_dec_act": "softmax",
+                    "old": False, "softmax_remove_mask": True})
+        self.model.sample = lambda mean, log_var: mean
+        self.sd0 = {k: v.detach().clone()
+                    for k, v in self.model.state_dict().items()}
+        self.opt = torch.optim.Adam(self.model.parameters(), lr=LR,
+                                    weight_decay=1e-5, amsgrad=True)
+        self.scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            self.opt, factor=0.1, patience=PATIENCE, min_lr=1e-5)
+        self.it = 0
+
+    @property
+    def lr(self):
+        return self.opt.param_groups[0]["lr"]
+
+    def train_epoch(self, batches):
+        model, lam = self.model, self.lam
+        model.train()
         ep_losses = []
         for xs_np, targets_np, mask_np, mask_img_np in batches:
             xs = [torch.tensor(x) for x in xs_np]
@@ -106,7 +122,7 @@ def _ref_epoch_train(ref, sd0_out, batches, lam, snapshots_out):
                                                           phase="train")
             xf = model.reconstruct_input_si_zi(si, zi)
             xfm = model.reconstruct_input_si_zj(si, zi)
-            if it == 0:          # y decode only at iter 0 (driver :182-190)
+            if self.it == 0:     # y decode only at iter 0 (driver :182-190)
                 model.reconstruct_output_si(si)
                 model.reconstruct_output_si_fused(si, mask)
             loss = torch.tensor(0.0)
@@ -126,13 +142,14 @@ def _ref_epoch_train(ref, sd0_out, batches, lam, snapshots_out):
             ep_losses.append(float(loss))
             loss.backward()
             torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
-            opt.step()
-            opt.zero_grad()
-            it += 1
-        losses_per_epoch.append(float(np.mean(ep_losses)))
-        snapshots_out.append({k: v.detach().clone()
-                              for k, v in model.state_dict().items()})
-    return losses_per_epoch
+            self.opt.step()
+            self.opt.zero_grad()
+            self.it += 1
+        return float(np.mean(ep_losses))
+
+    def snapshot(self):
+        return {k: v.detach().clone()
+                for k, v in self.model.state_dict().items()}
 
 
 class _ListLoader:
@@ -153,6 +170,8 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
         load_partial_params)
     from representation_disentanglement_tpu.training.evaluate import (
         evaluate, make_eval_step)
+    from representation_disentanglement_tpu.training.optim import (
+        ReduceLROnPlateau)
     from representation_disentanglement_tpu.training.train import (
         create_train_state, make_train_step)
     from representation_disentanglement_tpu.utils.transplant import (
@@ -164,10 +183,7 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
                      for _ in range(BATCHES_PER_EPOCH)]
     val_batches = [_phantom_batch(data_rng) for _ in range(VAL_BATCHES)]
 
-    # ---- torch reference: EPOCHS epochs, per-epoch weight snapshots ----
-    sd0, snapshots = {}, []
-    ref_losses = _ref_epoch_train(ref_model_module, sd0, train_batches,
-                                  lam, snapshots)
+    ref = _RefTrainer(ref_model_module, lam)
 
     # ---- ours: same init, same data, same batch order ----
     cfg = Config(dataset_name="BraTS", contrast_list=["T1", "T2"],
@@ -202,11 +218,14 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
         ms, _, _ = load_partial_params(state.batch_stats, s)
         return mp, ms
 
-    p0, s0 = transplant(sd0)
+    p0, s0 = transplant(ref.sd0)
     my_state = state._replace(params=p0, batch_stats=s0)
     step_fn, _ = make_train_step(model, cfg, txs, donate=False)
     eval_steps = make_eval_step(model, cfg)
     pair = jnp.asarray([[0, 1]], jnp.int32)
+    our_sched = ReduceLROnPlateau(LR, factor=0.1, patience=PATIENCE,
+                                  min_lr=1e-5)
+    our_lr = LR
 
     def val_stat(params, bstats, tag):
         return evaluate(model, params, bstats, cfg, _ListLoader(jval),
@@ -216,15 +235,18 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
     orig_sample = type(model).sample_z
     type(model).sample_z = lambda self, rng, mean, lv: mean
     rows = []
+    lr_drops = 0
     try:
         it = 0
         for epoch in range(EPOCHS):
+            lr_ref_this, lr_ours_this = ref.lr, our_lr
+            ref_loss = ref.train_epoch(train_batches)
             ep_losses = []
             for jb in jtrain:
                 stacked = jax.tree.map(lambda v: v[None], jb)
                 rngs = jax.random.split(jax.random.PRNGKey(it), 1)
                 my_state, m = step_fn(my_state, stacked, rngs, pair, pair,
-                                      jnp.float32(LR),
+                                      jnp.float32(our_lr),
                                       first_of_epoch=(it == 0))
                 ep_losses.append(float(np.asarray(m)[-2]))   # 'all'
                 it += 1
@@ -232,28 +254,49 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
 
             st_ours = val_stat(my_state.params, my_state.batch_stats,
                                f"conv_ours_{epoch}")
-            rp, rs = transplant(snapshots[epoch])
+            rp, rs = transplant(ref.snapshot())
             st_ref = val_stat(rp, rs, f"conv_ref_{epoch}")
 
-            d_loss = abs(ours_loss - ref_losses[epoch])
+            # driver semantics: scheduler steps on the VAL recon_x_mix
+            # monitor every epoch (src/main_missing.py:316-321); each
+            # framework is driven by ITS OWN monitor value
+            ref.scheduler.step(st_ref["recon_x_mix"])
+            our_lr = our_sched.step(st_ours["recon_x_mix"])
+            if ref.lr < lr_ref_this:
+                lr_drops += 1
+
+            d_loss = abs(ours_loss - ref_loss)
             d_psnr = abs(st_ours["psnr"] - st_ref["psnr"])
             d_ssim = abs(st_ours["ssim"] - st_ref["ssim"])
-            rows.append((epoch, ref_losses[epoch], ours_loss, d_loss,
+            rows.append((epoch, ref_loss, ours_loss, d_loss,
                          st_ref["psnr"], st_ours["psnr"], d_psnr,
-                         st_ref["ssim"], st_ours["ssim"], d_ssim))
+                         st_ref["ssim"], st_ours["ssim"], d_ssim,
+                         lr_ref_this, lr_ours_this,
+                         st_ref["recon_x_mix"], st_ours["recon_x_mix"]))
             assert d_psnr <= 0.5, (epoch, d_psnr)
             assert d_ssim <= 0.005, (epoch, d_ssim)
+            # the LR trajectories must agree: each side steps its own
+            # plateau scheduler on its own monitor, and the monitors track
+            # closely enough that every reduction event lands on the same
+            # epoch in both frameworks
+            assert abs(ref.lr - our_lr) < 1e-12, (
+                epoch, ref.lr, our_lr, st_ref["recon_x_mix"],
+                st_ours["recon_x_mix"])
     finally:
         type(model).sample_z = orig_sample
 
     print("\nmulti-epoch convergence A/B "
-          "(epoch: ref_loss ours_loss d_loss | ref_psnr ours_psnr d_psnr | "
-          "ref_ssim ours_ssim d_ssim):")
+          "(epoch: ref_loss ours_loss d_loss | ref_psnr ours_psnr d_psnr |"
+          " ref_ssim ours_ssim d_ssim | lr | val_mix ref/ours):")
     for r in rows:
         print(f"  {r[0]}: {r[1]:.4f} {r[2]:.4f} {r[3]:.1e} | "
               f"{r[4]:.4f} {r[5]:.4f} {r[6]:.1e} | "
-              f"{r[7]:.5f} {r[8]:.5f} {r[9]:.1e}")
+              f"{r[7]:.5f} {r[8]:.5f} {r[9]:.1e} | lr={r[10]:.1e} | "
+              f"{r[12]:.5f} {r[13]:.5f}")
+    print(f"  LR reductions (both frameworks, same epochs): {lr_drops}")
     # both frameworks actually LEARNED together (loss decreased >10% over
     # the run on both sides) — convergence, not a frozen-weights triviality
-    assert ref_losses[-1] < 0.9 * ref_losses[0]
+    assert rows[-1][1] < 0.9 * rows[0][1]
     assert rows[-1][2] < 0.9 * rows[0][2]
+    if REQUIRE_LR_DROP:
+        assert lr_drops >= 1, "no LR-reduction event inside the horizon"
