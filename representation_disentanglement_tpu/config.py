@@ -298,7 +298,9 @@ def load_config(path: str = "config.yaml") -> Config:
 def resolve_run(cfg: Config, ckpt_root: str = "../ckpt") -> Config:
     """Compute the run directory + resume-merge (main_missing.py:30-56)."""
     if cfg.ckpt_timelabel and (cfg.phase == "test" or cfg.continue_train):
-        time_label = cfg.ckpt_timelabel
+        # YAML 1.1 parses unquoted 2026_8_21_2_31 as an int (underscores
+        # are digit separators) — coerce so the run-dir join doesn't crash
+        time_label = str(cfg.ckpt_timelabel)
     else:
         lt = time.localtime(time.time())
         time_label = (f"{lt.tm_year}_{lt.tm_mon}_{lt.tm_mday}"

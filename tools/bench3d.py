@@ -169,6 +169,8 @@ def main():
         "flops_per_step": flops,
         "bytes_per_step": byts,
         "tflops_per_sec": round(flops / step_s / 1e12, 2) if flops else None,
+        # bf16 peak per chip: v5e 197 TFLOP/s (bench.py's table)
+        "mfu": round(flops / step_s / 1e12 / 197.0, 4) if flops else None,
         "hbm_gbps": round(byts / step_s / 1e9, 1) if byts else None,
         "config": f"NVNet3D {D}x{H}x{W} 4-contrast init_ch "
                   f"{args.init_channels} batch {args.batch} {args.dtype}",
